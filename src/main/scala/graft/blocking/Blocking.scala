@@ -1,0 +1,110 @@
+package graft.blocking
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.normalize.Normalize
+
+/** Stage 1: blocking — MinHash-LSH band keys over character 3-gram shingles
+  * of normalized text, plus a normalized-URL-domain composite key; oversized
+  * blocks are salted so the block-local self-join never concentrates on one
+  * task (the reference has no blocking at all — pairs are given,
+  * split_data.py:47 — blocking is the scale path mandated by the north star).
+  */
+object Blocking {
+
+  /** Default LSH operating point (b=16, r=6) chosen from the measured
+    * fixture Jaccard separation (LshTuneMain): negatives' char-3-gram
+    * Jaccard ≤ 0.23 (99.9th pct), positives ≥ 0.73 (0.1th pct) →
+    * P(candidate | J=0.73) ≈ 0.94, P(candidate | J=0.14) ≈ 1e-4. */
+  case class Config(
+      bands: Int = 16,
+      rows: Int = 6,
+      seed: Long = 42L,
+      /** target max rows co-joined per (block, salt-bucket) pair */
+      cap: Int = 64,
+      /** blocks larger than this are dropped entirely (counted, never silent) */
+      maxBlock: Int = 4096,
+      domainKey: Boolean = true)
+
+  private val SaltSeed = 0xA5A5A5A5L
+
+  /** Block table: (block_key, url). One row per (page, key); bands+1 keys per
+    * page. The MinHash signature is computed by a single codegen'd custom
+    * expression pass (see MinHashBandsExpr) — no intermediate shingle arrays. */
+  def blockTable(pages: DataFrame, cfg: Config = Config()): DataFrame = {
+    val norm = Normalize.normText(col("text"))
+    val mh = GraftFunctions.minhash_bands(norm, cfg.bands, cfg.rows, cfg.seed)
+    val mhKeys = transform(mh, h => concat(lit("mh:"), hex(h)))
+    val keys =
+      if (cfg.domainKey) {
+        // composite domain key: domain + leading normalized chars — keeps
+        // same-domain near-pages together without one giant per-domain block
+        val domKey = concat(lit("dom:"), Normalize.domain(col("url")), lit(":"),
+          substring(norm, 1, 12))
+        concat(mhKeys, array(domKey))
+      } else mhKeys
+    pages.select(col("url"), explode(keys).as("block_key"))
+  }
+
+  /** Candidate pairs via salted block-local self-join.
+    *
+    * Oversized-block handling ("triangle" salting, full pair coverage):
+    * a block of n rows gets k = ceil(n/cap) salt buckets; the row with salt s
+    * is replicated to pair-buckets {(a,s) : a ≤ s} ∪ {(s,b) : b > s} — exactly
+    * k buckets — so every pair (salt x, salt y), x ≤ y, co-occurs in exactly
+    * one bucket (x,y). This bounds the rows entering any single join task to
+    * ~2·cap while preserving 100% pair coverage (no recall loss, unlike
+    * row_number truncation). Blocks above maxBlock are dropped and surfaced
+    * via [[blockStats]], never silently.
+    *
+    * Output: url1 < url2, globally deduped (a pair found by several keys is
+    * emitted once — SURVEY §4.3.2: plain dropDuplicates wins).
+    */
+  def candidatePairs(blocks: DataFrame, cfg: Config = Config()): DataFrame = {
+    val n = count(lit(1)).over(Window.partitionBy("block_key"))
+    val sized = blocks.withColumn("n", n)
+      .where(col("n") > 1 && col("n") <= cfg.maxBlock)
+      .withColumn("k", ceil(col("n") / cfg.cap).cast("int"))
+      .withColumn("salt", pmod(xxhash64(col("url"), lit(SaltSeed)), col("k")).cast("int"))
+    val lowBuckets = transform(sequence(lit(0), col("salt")),
+      a => struct(a.as("x"), col("salt").as("y")))
+    val highBuckets = when(col("salt") + 1 > col("k") - 1, array().cast("array<struct<x:int,y:int>>"))
+      .otherwise(transform(sequence(col("salt") + 1, col("k") - 1),
+        b => struct(col("salt").as("x"), b.as("y"))))
+    val bucketed = sized
+      .withColumn("bucket", explode(concat(lowBuckets, highBuckets)))
+      .select("block_key", "bucket", "salt", "url")
+
+    val l = bucketed.as("l")
+    val r = bucketed.as("r")
+    l.join(r,
+        col("l.block_key") === col("r.block_key") &&
+        col("l.bucket") === col("r.bucket") &&
+        col("l.url") < col("r.url"))
+      // same-salt pairs live only in the diagonal bucket (x == y)
+      .where(col("l.bucket.x") === col("l.bucket.y") || col("l.salt") =!= col("r.salt"))
+      .select(col("l.url").as("url1"), col("r.url").as("url2"), col("l.block_key").as("block_key"))
+      .dropDuplicates("url1", "url2")
+  }
+
+  /** Lineage metrics for the block stage: blocks built, size distribution,
+    * and how many keys exceeded maxBlock (dropped — logged, not silent). */
+  def blockStats(blocks: DataFrame, cfg: Config = Config()): Map[String, Long] = {
+    val row = blocks.groupBy("block_key").count()
+      .agg(
+        count(lit(1)).as("blocks_built"),
+        max(col("count")).as("max_block_size"),
+        sum(when(col("count") > cfg.maxBlock, 1L).otherwise(0L)).as("blocks_dropped"),
+        sum(when(col("count") > 1 && col("count") <= cfg.maxBlock,
+          (col("count") * (col("count") - 1) / 2).cast("long")).otherwise(0L)).as("raw_pair_budget"))
+      .collect()(0)
+    Map(
+      "blocks_built" -> row.getLong(0),
+      "max_block_size" -> row.getLong(1),
+      "blocks_dropped" -> row.getLong(2),
+      "raw_pair_budget" -> row.getLong(3))
+  }
+}

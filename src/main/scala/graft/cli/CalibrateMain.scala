@@ -1,0 +1,60 @@
+package graft.cli
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{ScoreAttrs, Sessions}
+import graft.fixtures.Fixture
+import graft.scoring.Scoring
+
+/** Offline calibration of the frozen scorer weights (the analog of the
+  * reference's training loop, train_deeper.py:348-424, collapsed into a
+  * deterministic fit): score every labeled fixture pair, print per-label
+  * feature distributions and the confusion at the current weights. The
+  * committed Weights() defaults were chosen from this output. */
+object CalibrateMain {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(5000L)
+    val spark = Sessions.local(16, "graft-calibrate")
+    import spark.implicits._
+
+    val pt = Fixture.pagesWithTruth(spark, n).cache()
+    val pages = pt.drop("entity_id")
+    val labeled = Fixture.labeledPairs(spark, pt).cache()
+
+    val attrs = Scoring.attrs(spark, pages).cache()
+    val scored = Scoring.score(spark, labeled.select("url1", "url2"), attrs)
+      .join(labeled, Seq("url1", "url2"))
+
+    println("=== feature distributions by label ===")
+    scored.groupBy("label").agg(
+      count(lit(1)).as("n"),
+      round(avg("jaro_winkler"), 4).as("jw_avg"), round(min("jaro_winkler"), 4).as("jw_min"),
+      round(max("jaro_winkler"), 4).as("jw_max"),
+      round(avg("levenshtein_sim"), 4).as("lev_avg"), round(min("levenshtein_sim"), 4).as("lev_min"),
+      round(max("levenshtein_sim"), 4).as("lev_max"),
+      round(avg("cosine"), 4).as("cos_avg"), round(min("cosine"), 4).as("cos_min"),
+      round(max("cosine"), 4).as("cos_max"),
+      round(avg("num_sim"), 4).as("num_avg"), round(min("num_sim"), 4).as("num_min"),
+      round(avg("score"), 4).as("score_avg"), round(min("score"), 4).as("score_min"),
+      round(max("score"), 4).as("score_max")
+    ).orderBy("label").show(false)
+
+    println("=== quantiles of score by label ===")
+    for (lbl <- Seq(0, 1)) {
+      val q = scored.where($"label" === lbl).stat
+        .approxQuantile("score", Array(0.001, 0.01, 0.5, 0.99, 0.999), 0.0001)
+      println(s"label=$lbl score quantiles(0.1%,1%,50%,99%,99.9%): ${q.mkString(", ")}")
+    }
+
+    val w = Scoring.Weights()
+    val conf = scored.agg(
+      sum(when($"score" >= w.threshold && $"label" === 1, 1).otherwise(0)).as("tp"),
+      sum(when($"score" >= w.threshold && $"label" === 0, 1).otherwise(0)).as("fp"),
+      sum(when($"score" < w.threshold && $"label" === 1, 1).otherwise(0)).as("fn"),
+      sum(when($"score" < w.threshold && $"label" === 0, 1).otherwise(0)).as("tn")
+    ).collect()(0)
+    println(s"=== at threshold ${w.threshold}: tp=${conf.getLong(0)} fp=${conf.getLong(1)} " +
+      s"fn=${conf.getLong(2)} tn=${conf.getLong(3)}")
+    spark.stop()
+  }
+}

@@ -1,0 +1,73 @@
+package graft.core
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Core typed schemas of the linkage engine.
+  *
+  * Input row shape follows the engine contract (Common-Crawl-style web page);
+  * the reference's record table is the analogous `itemID/title/description/...`
+  * frame (reference: conver_test.py:22-41, split_data.py:46-59).
+  */
+case class Page(url: String, warc_ts: Timestamp, html: Array[Byte], text: String, lang: String)
+
+/** Page plus planted ground-truth entity (fixture-only; never read by the pipeline). */
+case class PageTruth(url: String, warc_ts: Timestamp, html: Array[Byte], text: String, lang: String,
+                     entity_id: Long)
+
+/** Labeled evaluation pair (reference: ItemPairs_train.csv — split_data.py:47,63-65). */
+case class LabeledPair(url1: String, url2: String, label: Int)
+
+/** One (block key, member) entry of the salted block table. */
+case class BlockEntry(block_key: String, url: String)
+
+/** Candidate pair emitted by block-local self-join, canonical url1 < url2. */
+case class CandidatePair(url1: String, url2: String)
+
+/** Per-page scoring attributes, computed once (not per pair). `vec` is the
+  * composed frozen-embedding vector (reference composition 'average',
+  * Deeper.py:233-236, via broadcast lookup). */
+case class ScoreAttrs(url: String, title: String, prefix: String, price: Double, vec: Array[Float])
+
+/** Scored candidate pair (FIXTURES.md §5 scored_pairs shape). */
+case class ScoredPair(url1: String, url2: String, jaro_winkler: Double, levenshtein_sim: Double,
+                      cosine: Double, num_sim: Double, score: Double)
+
+case class Edge(src: String, dst: String)
+
+/** Final transitive-cluster assignment; cluster_id = min url in the cluster. */
+case class ClusterAssignment(url: String, cluster_id: String)
+
+/** Pairwise evaluation result (reference metric semantics: train_deeper.py:36-39). */
+case class PairMetrics(tp: Long, fp: Long, fn: Long, tn: Long) {
+  def precision: Double = if (tp + fp == 0) 1.0 else tp.toDouble / (tp + fp)
+  def recall: Double = if (tp + fn == 0) 1.0 else tp.toDouble / (tp + fn)
+  def f1: Double = {
+    val p = precision; val r = recall
+    if (p + r == 0) 0.0 else 2 * p * r / (p + r)
+  }
+}
+
+object Sessions {
+  /** Local session sized to the sandbox: shuffle partitions = cores (not 200),
+    * AQE on (runtime coalesce + skew-join backstop). */
+  def local(cores: Int, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.registerAll(spark)
+    spark
+  }
+}
+
+object Tables {
+  /** Read one of the driver-generated testdata tables. */
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}

@@ -1,0 +1,285 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static similarity / hashing kernels.
+  *
+  * These are plain static methods so that generated whole-stage-codegen code
+  * can call them directly (see expressions.scala) and the mapPartitions
+  * scoring kernel can reuse the exact same implementations.
+  *
+  * Semantics re-expressed from the reference:
+  *  - cosine over composed vectors: Deeper.py:296-298 (Dot(axes=1, normalize=True))
+  *  - exp(-L1) / exp(-L2): Deeper.py:299-305
+  *  - scaled/unscaled numeric sims + min-max ratio: Deeper.py:327-343
+  *  - Jaro-Winkler / Levenshtein are the north-star's string-similarity additions.
+  */
+object Similarity {
+
+  // ---------------------------------------------------------------- strings
+
+  /** Standard Jaro similarity. */
+  def jaro(s1: String, s2: String): Double = {
+    val len1 = s1.length; val len2 = s2.length
+    if (len1 == 0 && len2 == 0) return 1.0
+    if (len1 == 0 || len2 == 0) return 0.0
+    val window = math.max(0, math.max(len1, len2) / 2 - 1)
+    val m1 = new Array[Boolean](len1)
+    val m2 = new Array[Boolean](len2)
+    var matches = 0
+    var i = 0
+    while (i < len1) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(len2 - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; matches += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var t = 0
+    var j2 = 0
+    i = 0
+    while (i < len1) {
+      if (m1(i)) {
+        while (!m2(j2)) j2 += 1
+        if (s1.charAt(i) != s2.charAt(j2)) t += 1
+        j2 += 1
+      }
+      i += 1
+    }
+    val tr = t / 2.0
+    val m = matches.toDouble
+    (m / len1 + m / len2 + (m - tr) / m) / 3.0
+  }
+
+  /** Jaro-Winkler with the standard 0.7 boost threshold and prefix cap 4. */
+  def jaroWinkler(s1: String, s2: String): Double = {
+    val j = jaro(s1, s2)
+    if (j <= 0.7) return j
+    val maxPrefix = math.min(4, math.min(s1.length, s2.length))
+    var l = 0
+    while (l < maxPrefix && s1.charAt(l) == s2.charAt(l)) l += 1
+    j + l * 0.1 * (1.0 - j)
+  }
+
+  def jaroWinkler(a: UTF8String, b: UTF8String): Double =
+    jaroWinkler(a.toString, b.toString)
+
+  /** Levenshtein distance with an optional character cap (both inputs are
+    * truncated to `cap` chars first — the reference's cost-control truncations,
+    * Deeper.py:163 / conver_test.py:123-126, applied to similarity). */
+  def levenshtein(s1raw: String, s2raw: String, cap: Int): Int = {
+    val s1 = if (s1raw.length > cap) s1raw.substring(0, cap) else s1raw
+    val s2 = if (s2raw.length > cap) s2raw.substring(0, cap) else s2raw
+    val n = s1.length; val m = s2.length
+    if (n == 0) return m
+    if (m == 0) return n
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    var j = 0
+    while (j <= m) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= n) {
+      cur(0) = i
+      val c1 = s1.charAt(i - 1)
+      j = 1
+      while (j <= m) {
+        val cost = if (c1 == s2.charAt(j - 1)) 0 else 1
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+        j += 1
+      }
+      val tmp = prev; prev = cur; cur = tmp
+      i += 1
+    }
+    prev(m)
+  }
+
+  /** Normalized Levenshtein similarity in [0,1] over capped prefixes. */
+  def levenshteinSim(s1: String, s2: String, cap: Int): Double = {
+    val l1 = math.min(s1.length, cap); val l2 = math.min(s2.length, cap)
+    val mx = math.max(l1, l2)
+    if (mx == 0) 1.0 else 1.0 - levenshtein(s1, s2, cap).toDouble / mx
+  }
+
+  // ---------------------------------------------------------------- vectors
+
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Cosine over two Catalyst float arrays (codegen entry point). */
+  def cosineFloat(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Cosine over two Catalyst double arrays (codegen entry point). */
+  def cosineDouble(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def dot(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0; var i = 0
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  // ----------------------------------------------------- numeric sims (ref)
+
+  /** exp(-2|a-b|/(a+b+1e-5)) — Deeper.py:327-329. */
+  def scaledInverseLp(a: Double, b: Double): Double =
+    math.exp(-2.0 * math.abs(a - b) / (a + b + 1e-5))
+
+  /** exp(-|a-b|) — Deeper.py:330-332. */
+  def unscaledInverseLp(a: Double, b: Double): Double = math.exp(-math.abs(a - b))
+
+  /** min(a,b)/(max(a,b)+1e-5) — Deeper.py:338-343. */
+  def minMaxRatio(a: Double, b: Double): Double =
+    math.min(a, b) / (math.max(a, b) + 1e-5)
+
+  // ------------------------------------------------------------- min-hash
+
+  private final val GOLDEN = 0x9E3779B97F4A7C15L
+
+  /** One-pass MinHash-LSH band keys over character (byte) 3-gram shingles.
+    *
+    * Computes bands*rows min-hashes in a single scan of the UTF8 bytes (one
+    * base xxhash64 per shingle, then k cheap hashLong remixes) and folds each
+    * band's `rows` minima into one 64-bit band key (band index mixed in so
+    * keys never collide across bands). O(len * bands * rows), zero
+    * intermediate shingle materialization — this is the scale path for
+    * blocking at 10^12 documents.
+    */
+  def minHashBands(s: UTF8String, bands: Int, rows: Int, seed: Long): Array[Long] = {
+    val k = bands * rows
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = s.numBytes()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    if (n < 3) {
+      // degenerate short text: hash the whole string once
+      val h0 = XXH64.hashUnsafeBytes(base, off, n, seed)
+      var j = 0
+      while (j < k) { mins(j) = XXH64.hashLong(h0, seed + GOLDEN * (j + 1)); j += 1 }
+    } else {
+      var i = 0
+      val last = n - 3
+      while (i <= last) {
+        val h0 = XXH64.hashUnsafeBytes(base, off + i, 3, seed)
+        var j = 0
+        while (j < k) {
+          val h = XXH64.hashLong(h0, seed + GOLDEN * (j + 1))
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+        i += 1
+      }
+    }
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = seed + b
+      var r = 0
+      while (r < rows) { acc = XXH64.hashLong(mins(b * rows + r), acc); r += 1 }
+      out(b) = acc
+      b += 1
+    }
+    out
+  }
+
+  def minHashBandsArray(s: UTF8String, bands: Int, rows: Int, seed: Long): ArrayData =
+    new GenericArrayData(minHashBands(s, bands, rows, seed))
+
+  // -------------------------------------------------------------- sim-hash
+
+  /** 64-bit SimHash over whitespace tokens (document fingerprint for
+    * near-duplicate detection; Charikar's scheme, public knowledge). */
+  def simHash64(s: UTF8String, seed: Long): Long = {
+    val str = s.toString
+    val counts = new Array[Int](64)
+    var start = 0
+    val len = str.length
+    var i = 0
+    while (i <= len) {
+      if (i == len || str.charAt(i) == ' ' || str.charAt(i) == '\t' || str.charAt(i) == '\n') {
+        if (i > start) {
+          val tok = str.substring(start, i)
+          val bytes = tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val h = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, seed)
+          var bit = 0
+          while (bit < 64) {
+            if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
+            bit += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (counts(bit) > 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Sign-random-projection LSH bucket (nBits ≤ 32) for embedding vectors:
+    * bit i = sign(v · h_i) with h_i a seeded deterministic hyperplane. Used to
+    * bucket ANN / embedding near-dup search at scale. */
+  def srpBucket(v: ArrayData, nBits: Int, seed: Long): Int = {
+    val n = v.numElements()
+    var out = 0
+    var bit = 0
+    while (bit < nBits) {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        // deterministic pseudo-random hyperplane component in [-1, 1)
+        val h = XXH64.hashLong(i.toLong, seed + GOLDEN * (bit + 1))
+        s += v.getFloat(i).toDouble * (h.toDouble / 9.223372036854776e18)
+        i += 1
+      }
+      if (s >= 0) out |= (1 << bit)
+      bit += 1
+    }
+    out
+  }
+}

@@ -1,0 +1,146 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the operators Spark lacks as builtins.
+  *
+  * All of them stay inside whole-stage codegen: doGenCode emits a direct call
+  * to the static kernels in [[Similarity]], so there is no UDF serialization,
+  * no InternalRow boxing, and the surrounding project/filter fuses into one
+  * generated function.
+  */
+
+/** jaro_winkler(string, string) -> double. North-star string similarity on
+  * title/text fields (not in the reference, which used learned encoders —
+  * deeper_models.py:385-440 — replaced per the frozen-scorer design). */
+case class JaroWinklerExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    Similarity.jaroWinkler(l.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      r.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Similarity.jaroWinkler($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** cosine_sim(array<float|double>, array<float|double>) -> double.
+  * Reference semantics: Dot(axes=1, normalize=True), Deeper.py:296-298. */
+case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  private def isFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (isFloat) Similarity.cosineFloat(a, b) else Similarity.cosineDouble(a, b)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isFloat) "cosineFloat" else "cosineDouble"
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Similarity.$fn($a, $b)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** minhash_bands(string) -> array<long>: one band key per LSH band, computed
+  * in a single pass over the UTF8 bytes (char 3-gram shingles). */
+case class MinHashBandsExpr(child: Expression, bands: Int, rows: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    Similarity.minHashBandsArray(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], bands, rows, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Similarity.minHashBandsArray($c, $bands, $rows, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** simhash64(string) -> long: Charikar sim-hash over whitespace tokens. */
+case class SimHash64Expr(child: Expression, seed: Long) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    Similarity.simHash64(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Similarity.simHash64($c, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** srp_bucket(array<float>) -> int: sign-random-projection LSH bucket for
+  * embedding vectors (ANN / near-dup blocking at scale). */
+case class SrpBucketExpr(child: Expression, nBits: Int, seed: Long) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    Similarity.srpBucket(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], nBits, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Similarity.srpBucket($c, $nBits, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Column-level API + SQL registration. */
+object GraftFunctions {
+  import org.apache.spark.sql.functions._
+
+  private def col(e: Expression): Column = GraftColumnBridge.column(e)
+  private def ex(c: Column): Expression = GraftColumnBridge.expression(c)
+
+  def jaro_winkler(l: Column, r: Column): Column = col(JaroWinklerExpr(ex(l), ex(r)))
+  def cosine_sim(l: Column, r: Column): Column = col(CosineSimExpr(ex(l), ex(r)))
+  def minhash_bands(c: Column, bands: Int, rows: Int, seed: Long): Column =
+    col(MinHashBandsExpr(ex(c), bands, rows, seed))
+  def simhash64(c: Column, seed: Long = 0L): Column = col(SimHash64Expr(ex(c), seed))
+  def srp_bucket(c: Column, nBits: Int, seed: Long): Column = col(SrpBucketExpr(ex(c), nBits, seed))
+
+  /** Numeric similarity family, exactly the reference's formulas
+    * (Deeper.py:327-343) — pure Column expressions, fully codegen'd. */
+  def scaled_inverse_lp(a: Column, b: Column): Column =
+    exp(lit(-2.0) * abs(a - b) / (a + b + lit(1e-5)))
+  def unscaled_inverse_lp(a: Column, b: Column): Column = exp(-abs(a - b))
+  def min_max_ratio(a: Column, b: Column): Column = least(a, b) / (greatest(a, b) + lit(1e-5))
+
+  /** exp(-Σ|aᵢ-bᵢ|) over vectors — Deeper.py:299-301. */
+  def inverse_l1(a: Column, b: Column): Column =
+    exp(-aggregate(zip_with(a, b, (x, y) => abs(x - y)), lit(0.0), (acc, x) => acc + x))
+
+  /** exp(-sqrt(Σ(aᵢ-bᵢ)²)) over vectors — Deeper.py:302-305. */
+  def inverse_l2(a: Column, b: Column): Column =
+    exp(-sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)))
+
+  private val sqlFns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_jaro_winkler" -> (es => JaroWinklerExpr(es(0), es(1))),
+    "graft_cosine_sim" -> (es => CosineSimExpr(es(0), es(1))),
+    "graft_simhash64" -> (es => SimHash64Expr(es(0), 0L))
+  )
+
+  /** Session-local registration (usable from spark.sql). */
+  def registerAll(spark: SparkSession): Unit = sqlFns.foreach { case (name, builder) =>
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+  }
+
+  private[functions] def injectables
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    sqlFns.map { case (name, builder) =>
+      (FunctionIdentifier(name), new ExpressionInfo("graft", name), builder)
+    }
+}
+
+/** SparkSessionExtensions hook: register the custom expressions at session
+  * build time (`.withExtensions(new GraftExtensions)` or
+  * spark.sql.extensions=graft.functions.GraftExtensions). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.injectables.foreach(e.injectFunction)
+}
