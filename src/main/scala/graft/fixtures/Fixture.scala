@@ -185,10 +185,13 @@ object Fixture {
     // its next `negRatio` successors (deterministic, distributed, no self-join)
     def windowPairs(partCol: org.apache.spark.sql.Column): DataFrame = {
       val w = Window.partitionBy(partCol).orderBy("r")
+      // oversample leads (negRatio+4) so dedup/anti-join losses still leave
+      // ≥ negRatio negatives per positive (make-splits.py:89-104 oversampling)
+      val k = negRatio + 4
       val withLeads = withDom.select(
-        ($"url" +: (1 to negRatio).map(i => lead($"url", i).over(w).as(s"n$i"))): _*)
+        ($"url" +: (1 to k).map(i => lead($"url", i).over(w).as(s"n$i"))): _*)
       withLeads
-        .withColumn("nxt", explode(array((1 to negRatio).map(i => col(s"n$i")): _*)))
+        .withColumn("nxt", explode(array((1 to k).map(i => col(s"n$i")): _*)))
         .where($"nxt".isNotNull && $"nxt" =!= $"url")
         .select(least($"url", $"nxt").as("url1"), greatest($"url", $"nxt").as("url2"))
     }

@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.eval.Eval
+import graft.fixtures.Fixture
+import graft.lineage.SnapshotStore
+import graft.pipeline.Linkage
+
+/** The correctness gate (BASELINE.md): full 3-stage run on 10k synthetic
+  * pages, pairwise F1 ≥ 0.99 vs labeled pairs, byte-identity invariant,
+  * kill/resume equivalence. */
+class EndToEndSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val n = 10000L
+  private lazy val workDir = Files.createTempDirectory("graft-e2e").toString
+  private lazy val pt = Fixture.pagesWithTruth(spark, n).cache()
+  private lazy val pages = pt.drop("entity_id").cache()
+  private lazy val labeled = Fixture.labeledPairs(spark, pt).cache()
+  private lazy val result = Linkage.run(spark, pages, Linkage.Config(workDir = workDir))
+
+  test("pairwise F1 >= 0.99 on labeled pairs (north-rule gate)") {
+    val m = Eval.pairwise(result.clusters, labeled)
+    info(s"tp=${m.tp} fp=${m.fp} fn=${m.fn} tn=${m.tn} " +
+      f"P=${m.precision}%.4f R=${m.recall}%.4f F1=${m.f1}%.4f")
+    assert(m.f1 >= 0.99, s"F1 ${m.f1} below gate")
+  }
+
+  test("clusters match planted entities exactly (stronger than the gate)") {
+    val truth = pt.select($"url", $"entity_id")
+    val joined = result.clusters.join(truth, "url")
+    // every cluster maps to exactly one entity and vice versa
+    assert(joined.groupBy("cluster_id").agg(countDistinct("entity_id").as("d"))
+      .where($"d" > 1).count() == 0)
+    assert(joined.groupBy("entity_id").agg(countDistinct("cluster_id").as("d"))
+      .where($"d" > 1).count() == 0)
+  }
+
+  test("per-row invariant: text sha unchanged through the run") {
+    result.clusters.count() // force pipeline
+    val store = new SnapshotStore(spark, workDir, resume = true)
+    val recorded = store.counter("ingest", "sha_sum")
+    val now = pages.agg(expr("bit_xor(xxhash64(sha2(text, 256)))")).as[Long].collect()(0)
+    assert(recorded.contains(now))
+  }
+
+  test("lineage counters present and plausible") {
+    result.clusters.count()
+    val store = new SnapshotStore(spark, workDir, resume = true)
+    assert(store.counter("blocks", "blocks_built").exists(_ > 0))
+    assert(store.counter("scored", "pairs_scored").exists(_ > 0))
+    assert(store.counter("clusters", "merges_applied").isDefined)
+    assert(store.counter("blocks", "blocks_dropped").contains(0L))
+  }
+
+  test("resume: a rerun recomputes nothing and yields identical clusters") {
+    val before = result.clusters.orderBy("url").collect()
+    val resumed = Linkage.run(spark, pages,
+      Linkage.Config(workDir = workDir, resume = true))
+    assert(resumed.resumedStages ==
+      Seq("attrs", "blocks", "pairs", "scored", "clusters"))
+    assert(resumed.clusters.orderBy("url").collect().sameElements(before))
+  }
+
+  test("kill/resume: only missing stages recompute after partial run") {
+    val dir2 = Files.createTempDirectory("graft-e2e-partial").toString
+    val cfg = Linkage.Config(workDir = dir2)
+    // simulate a killed run: copy completed early stages only
+    val full = new java.io.File(workDir)
+    for (stage <- Seq("ingest", "attrs", "blocks")) {
+      val src = new java.io.File(full, stage)
+      val dst = new java.io.File(dir2, stage)
+      org.apache.commons.io.FileUtils.copyDirectory(src, dst)
+    }
+    val resumed = Linkage.run(spark, pages, cfg.copy(resume = true))
+    assert(resumed.resumedStages == Seq("attrs", "blocks"))
+    val m = Eval.pairwise(resumed.clusters, labeled)
+    assert(m.f1 >= 0.99)
+  }
+}
