@@ -1,0 +1,267 @@
+package graft
+
+/** DuckDB-dialect oracle SQL for every SQL-expressible query in [[Queries]].
+  * Table names are the bare parquet basenames (the driver registers each
+  * `<sfDir>/<name>.parquet` as a view).
+  *
+  * Dialect correspondence notes:
+  *  - integer SUM/len/row_number are BIGINT-aligned on both sides
+  *    (DuckDB SUM(int)→HUGEINT is always cast to BIGINT here);
+  *  - money sums go through DECIMAL(18,2) → DOUBLE (exact both engines);
+  *  - per-row double math rounded to 6 dp in both dialects.
+  */
+object Oracles {
+
+  private val decSumQty = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+
+  /** langid oracle mirrors TextStats.langId exactly: marker-hit counts via
+    * split, argmax with alphabetical-language tie-break, 'und' fallback. */
+  private def langidSql: String = {
+    val markers = graft.operators.TextStats.langMarkers.toSeq.sortBy(_._1)
+    def hits(ms: Seq[String]): String =
+      ms.map(m => s"(len(str_split(padded, '$m')) - 1)").mkString(" + ")
+    val scoreCols = markers.map { case (lang, ms) => s"${hits(ms)} AS s_$lang" }
+    val best = "GREATEST(" + markers.map { case (l, _) => s"s_$l" }.mkString(", ") + ")"
+    val caseArm = markers.map { case (l, _) =>
+      s"WHEN s_$l = best AND s_$l > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""WITH scored AS (
+       |  SELECT ${scoreCols.mkString(", ")}
+       |  FROM (SELECT ' ' || lower(text) || ' ' AS padded FROM documents)
+       |), labeled AS (
+       |  SELECT CASE $caseArm ELSE 'und' END AS lang_pred
+       |  FROM (SELECT *, $best AS best FROM scored)
+       |)
+       |SELECT lang_pred, COUNT(*) AS n FROM labeled GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  private def qualitySql: String = {
+    val punct = """(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')))"""
+    val toks = """str_split_regex(text, '\s+')"""
+    val ltoks = """str_split_regex(lower(text), '\s+')"""
+    val stops = s"len(list_filter($ltoks, t -> list_contains(['the','a','of','and','or'], t)))"
+    val sumlen = s"list_aggregate(list_transform($toks, t -> length(t)), 'sum')"
+    s"""WITH raw AS (
+       |  SELECT doc_id,
+       |    CAST(len($toks) AS BIGINT) AS n_tokens,
+       |    CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST($punct AS DOUBLE) / length(text) END AS punct_raw,
+       |    CASE WHEN len($ltoks) = 0 THEN 0.0 ELSE CAST($stops AS DOUBLE) / len($ltoks) END AS stop_raw,
+       |    CASE WHEN len($toks) = 0 THEN 0.0 ELSE CAST($sumlen AS DOUBLE) / len($toks) END AS avglen_raw
+       |  FROM documents
+       |)
+       |SELECT doc_id, n_tokens,
+       |  ROUND(punct_raw, 6) AS punct_ratio,
+       |  ROUND(stop_raw, 6) AS stopword_ratio,
+       |  ROUND(avglen_raw, 6) AS avg_token_len,
+       |  ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) *
+       |        (CASE WHEN n_tokens > 5000 THEN 0.5 ELSE 1.0 END) *
+       |        (GREATEST(0.0, 1.0 - punct_raw * 4.0) * 0.5 +
+       |         LEAST(stop_raw * 5.0, 1.0) * 0.5), 6) AS quality
+       |FROM raw ORDER BY doc_id""".stripMargin
+  }
+
+  val sql: Map[String, String] = Map(
+    "q01_scan_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00' AND l_quantity < 5
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q02_group_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  $decSumQty AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         |  ROUND($decSumQty / COUNT(*), 6) AS avg_qty,
+         |  COUNT(*) AS n
+         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q03_join_agg" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q04_broadcast_dims" ->
+      """SELECT r_name, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q05_anti_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_without_orders FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q06_semi_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_with_orders FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q07_window_topk" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rank FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rank
+        |  FROM lineitem) WHERE rank <= 3 ORDER BY l_returnflag, rank""".stripMargin,
+
+    "q08_union_dedup" ->
+      """SELECT COUNT(*) AS n_distinct_nations, CAST(SUM(nationkey) AS BIGINT) AS sum_keys
+        |FROM (SELECT DISTINCT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL SELECT s_nationkey FROM supplier))""".stripMargin,
+
+    "q09_self_join" ->
+      """SELECT n_pairs, COUNT(*) AS n_orders FROM (
+        |  SELECT a.l_orderkey, COUNT(*) AS n_pairs
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+        |  GROUP BY 1) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q10_null_fill" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1.0 ELSE 0.0 END AS DOUBLE) AS v_isna,
+        |  ROUND(COALESCE(nullif(l_discount, 0.0),
+        |    AVG(nullif(l_discount, 0.0)) OVER ()), 6) AS v_filled
+        |FROM lineitem WHERE l_orderkey < 200
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q11_string_funcs" ->
+      """SELECT p_partkey, lower(p_name) AS lower_name, upper(p_brand) AS upper_brand,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  CAST(len(str_split(p_name, ' ')) AS BIGINT) AS n_words,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS devoweled,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  substring(p_name, 1, 5) AS prefix5
+        |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin,
+
+    "q12_time_buckets" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q13_json_extract" ->
+      """SELECT k % 10 AS k_bucket, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
+        |FROM (SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q14_numeric_sims" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  ROUND(EXP(-2 * ABS(l_quantity - l_discount * 100) /
+        |    (l_quantity + l_discount * 100 + 1e-5)), 6) AS scaled_inv,
+        |  ROUND(EXP(-ABS(l_quantity - l_discount * 100)), 6) AS unscaled_inv,
+        |  ROUND(LEAST(l_quantity, l_discount * 100) /
+        |    (GREATEST(l_quantity, l_discount * 100) + 1e-5), 6) AS minmax_ratio
+        |FROM lineitem WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q15_str_to_num" ->
+      """SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST(k_num AS DECIMAL(18,2))) AS DOUBLE) AS sum_k,
+        |  MIN(k_num) AS min_k, MAX(k_num) AS max_k
+        |FROM (SELECT CAST(regexp_replace(props, '[^0-9.]', '', 'g') AS DOUBLE) AS k_num
+        |      FROM events)""".stripMargin,
+
+    "q16_token_cap" ->
+      """SELECT doc_id,
+        |  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(LEAST(len(str_split(text, ' ')), 100) AS BIGINT) AS n_capped,
+        |  CAST(len(str_split(text, ' ')[1:100]) AS BIGINT) AS n_sliced
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q17_doc_frequency" ->
+      """SELECT token, COUNT(*) AS df FROM (
+        |  SELECT unnest(list_distinct(str_split(text, ' '))) AS token FROM documents)
+        |WHERE token <> '' GROUP BY 1 ORDER BY df DESC, token""".stripMargin,
+
+    "q18_distinct_stats" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q19_hash_split" ->
+      """SELECT CAST(('0x' || substr(md5(text), 17, 16))::UBIGINT % 10 AS INT) AS bucket,
+        |  COUNT(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q20_dedup_exact" ->
+      """SELECT COUNT(*) AS n_groups, CAST(SUM(group_size - 1) AS BIGINT) AS n_dup_rows
+        |FROM (SELECT MIN(doc_id) AS rep_id, COUNT(*) AS group_size
+        |      FROM documents GROUP BY md5(text))""".stripMargin,
+
+    "q21_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, lang, source,
+        |    list_distinct(str_split(lower(text), ' ')) AS g FROM documents)
+        |SELECT id1, id2, ROUND(jacc, 6) AS jaccard FROM (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    CASE WHEN (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) = 0 THEN 1.0
+        |         ELSE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+        |              (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) END AS jacc
+        |  FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+        |    AND a.doc_id < b.doc_id)
+        |WHERE jacc >= 0.95 ORDER BY id1, id2""".stripMargin,
+
+    "q24_ann_brute" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT query_id, rank, corpus_id, ROUND(cosine, 6) AS cosine FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |    list_cosine_similarity(q.v, c.v) AS cosine,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rank
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q25_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        |ORDER BY id1, id2""".stripMargin,
+
+    "q27_langid" -> langidSql,
+
+    "q28_quality" -> qualitySql,
+
+    "q29_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    str_split_regex(lower(text), '\s+'))), ' ')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q31_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, CASE WHEN prev_ts IS NULL
+        |    OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000 THEN 1 ELSE 0 END AS new_session
+        |  FROM g),
+        |u AS (SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions
+        |      FROM s GROUP BY 1)
+        |SELECT n_sessions, COUNT(*) AS n_users FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q32_topk" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q33_vector_norms" ->
+      """SELECT vec_id,
+        |  ROUND(list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)), 'sum'), 6) AS l1_norm,
+        |  ROUND(sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x), 'sum')), 6) AS l2_norm,
+        |  ROUND(list_cosine_similarity(embedding::DOUBLE[],
+        |    list_reverse(embedding::DOUBLE[])), 6) AS cos_rev
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q34_eval_counts" ->
+      """SELECT
+        |  CAST(SUM(CASE WHEN value > 50 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |  CAST(SUM(CASE WHEN value > 50 AND event_type <> 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |  CAST(SUM(CASE WHEN value <= 50 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |  CAST(SUM(CASE WHEN value <= 50 AND event_type <> 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |FROM events""".stripMargin
+  )
+}

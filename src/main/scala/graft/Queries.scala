@@ -1,0 +1,373 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.GraftFunctions
+import graft.operators.{Ann, Dedup, TextStats}
+
+/** The operator-inventory query surface (SURVEY §2 line-by-line) plus the
+  * training-data-pipeline operators, each expressed Spark-first over the
+  * driver's testdata tables with a DuckDB-equivalent oracle (oracleSql).
+  *
+  * Cross-engine exactness rules used throughout:
+  *  - money/quantity sums go through DECIMAL(18,2) (exact) then cast to
+  *    double — bit-identical in both engines;
+  *  - per-row double math (exp/cosine/ratios) is rounded to 6 dp;
+  *  - every query orders by a unique key so row order is deterministic;
+  *  - aggregates and computed columns carry identical aliases in both
+  *    dialects (the driver compare sorts columns by name).
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = Tables(s, dir, name)
+
+  private def decSum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  // ------------------------------------------------------------------ TPC-H-ish core
+
+  /** S1/P1/P5/P6: scan with pushed filter + projection (pruned ReadSchema). */
+  def q01_scan_filter_project(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_shipdate") < lit("1996-01-01").cast("timestamp_ntz") &&
+        col("l_quantity") < 5)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_shipdate"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** A1-A4: grouped aggregation with exact decimal sums (TPC-H Q1 shape). */
+  def q02_group_agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        decSum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_price"),
+        round(decSum(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** J1/J3: three-way join + aggregation, revenue per customer (top 20). */
+  def q03_join_agg(s: SparkSession, dir: String): DataFrame = {
+    val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** J1/J2: broadcast dim joins (customer→nation→region). */
+  def q04_broadcast_dims(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        decSum(col("c_acctbal")).as("sum_acctbal"))
+      .orderBy("r_name")
+
+  /** J4: anti join — customers with no orders, per market segment. */
+  def q05_anti_join(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_without_orders"))
+      .orderBy("c_mktsegment")
+
+  /** U4: semi join — customers with at least one order. */
+  def q06_semi_join(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_with_orders"))
+      .orderBy("c_mktsegment")
+
+  /** W1: per-group top-k via row_number window (the block-cap window). */
+  def q07_window_topk(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3)
+      .orderBy("l_returnflag", "rank")
+  }
+
+  /** U1/U2: vertical union + dedup across two sources. */
+  def q08_union_dedup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .unionByName(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .dropDuplicates("nationkey")
+      .groupBy().agg(count(lit(1)).as("n_distinct_nations"),
+        sum(col("nationkey")).as("sum_keys"))
+
+  /** J5: self-join (same-order lineitem pairs), histogram of pair counts. */
+  def q09_self_join(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"))
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_linenumber") < col("b.l_linenumber"))
+      .groupBy(col("a.l_orderkey").as("l_orderkey"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .groupBy(col("n_pairs")).agg(count(lit(1)).as("n_orders"))
+      .orderBy("n_pairs")
+  }
+
+  /** P7/P8: null indicator + mean imputation (two-pass via window avg).
+    * Filter precedes the window so SQL WHERE-before-window matches. */
+  def q10_null_fill(s: SparkSession, dir: String): DataFrame = {
+    val v = when(col("l_discount") === 0.0, lit(null).cast("double"))
+      .otherwise(col("l_discount"))
+    t(s, dir, "lineitem")
+      .where(col("l_orderkey") < 200)
+      .select(col("l_orderkey"), col("l_linenumber"), v.as("v"))
+      .withColumn("v_isna", when(col("v").isNull, 1.0).otherwise(0.0))
+      .withColumn("v_filled", round(coalesce(col("v"),
+        avg(col("v")).over(Window.partitionBy())), 6))
+      .orderBy("l_orderkey", "l_linenumber")
+      .drop("v")
+  }
+
+  /** F1/F8: string scalar functions (case chain, concat, regexp, length). */
+  def q11_string_funcs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        lower(col("p_name")).as("lower_name"),
+        upper(col("p_brand")).as("upper_brand"),
+        length(col("p_name")).cast("long").as("name_len"),
+        size(split(col("p_name"), " ")).cast("long").as("n_words"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("devoweled"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        substring(col("p_name"), 1, 5).as("prefix5"))
+      .where(col("p_partkey") <= 200)
+      .orderBy("p_partkey")
+
+  /** Streaming-analog batch window: tumbling 1h buckets over event time. */
+  def q12_time_buckets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total"))
+      .orderBy("bucket", "event_type")
+
+  /** F5: JSON map extraction (attrsJSON flatten semantics — never eval). */
+  def q13_json_extract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(pmod(col("k"), lit(10)).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy("k_bucket")
+
+  /** F13-F15: the reference's numeric similarity family as pure columns. */
+  def q14_numeric_sims(s: SparkSession, dir: String): DataFrame = {
+    val a = col("l_quantity"); val b = col("l_discount") * 100
+    t(s, dir, "lineitem")
+      .where(col("l_orderkey") < 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(GraftFunctions.scaled_inverse_lp(a, b), 6).as("scaled_inv"),
+        round(GraftFunctions.unscaled_inverse_lp(a, b), 6).as("unscaled_inv"),
+        round(GraftFunctions.min_max_ratio(a, b), 6).as("minmax_ratio"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** F4: str_to_num — strip non-numeric chars, parse (dirty JSON payload). */
+  def q15_str_to_num(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(regexp_replace(col("props"), "[^0-9.]", "").cast("double").as("k_num"))
+      .groupBy().agg(count(lit(1)).as("n"),
+        sum(col("k_num").cast("decimal(18,2)")).cast("double").as("sum_k"),
+        min(col("k_num")).as("min_k"), max(col("k_num")).as("max_k"))
+
+  /** P11/A1: pad/truncate semantics — token counts, capped at 100. */
+  def q16_token_cap(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        least(size(split(col("text"), " ")), lit(100)).cast("long").as("n_capped"),
+        size(slice(split(col("text"), " "), 1, 100)).cast("long").as("n_sliced"))
+      .orderBy("doc_id")
+
+  /** A2: document frequency (explode distinct tokens → count). */
+  def q17_doc_frequency(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(array_distinct(split(col("text"), " "))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token"))
+
+  /** A5: exact distinct stats per group. */
+  def q18_distinct_stats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** O2: deterministic hash-bucket split (md5-based, oracle-reproducible). */
+  def q19_hash_split(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(conv(substring(md5(col("text")), 17, 16), 16, 10)
+      .cast("decimal(20,0)"), lit(10)).cast("int")
+    t(s, dir, "documents")
+      .select(bucket.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
+  // ------------------------------------------- training-data pipeline operators
+
+  /** Dedup/exact: content-hash groups (0 dup groups on unique corpus is a
+    * valid result — the operator is the contract). */
+  def q20_dedup_exact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactSummary(t(s, dir, "documents"), "doc_id", "text")
+
+  /** Dedup/n-gram Jaccard: near-dup pairs within (lang, source) blocks. */
+  def q21_ngram_jaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        Seq("lang", "source"), n = 1, tau = 0.95)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id1", "id2")
+
+  /** Dedup/MinHash-LSH candidates (xxhash64 bands — no SQL oracle; the
+    * ScalaTest suite asserts candidate coverage instead). */
+  def q22_minhash_dedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("id1", "id2")
+
+  /** Dedup/SimHash near-dups (custom expression — rows-only check). */
+  def q23_simhash_neardup(s: SparkSession, dir: String): DataFrame = {
+    val withSim = t(s, dir, "documents").select(col("doc_id"),
+      GraftFunctions.simhash64(lower(col("text")), 0L).as("simhash"))
+    withSim.groupBy().agg(count(lit(1)).as("n"),
+      countDistinct(col("simhash")).as("n_distinct_simhash"))
+  }
+
+  /** ANN/brute-force cosine top-k: 10 query vectors against the corpus. */
+  def q24_ann_brute(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    Ann.bruteTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("corpus_id"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Embedding near-dup pairs (cosine >= 0.4), exact within-threshold. */
+  def q25_embedding_neardup(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    Dedup.embeddingNearDup(emb, "vec_id", "embedding", tau = 0.4, nBits = 0)
+      .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("id1", "id2")
+  }
+
+  /** ANN/LSH-bucketed top-k (approximate — rows-only; recall vs brute force
+    * is asserted in AnnSpec). */
+  def q26_ann_lsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    Ann.srpTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nBits = 8)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("corpus_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Text/language-ID heuristic (stopword markers, deterministic argmax). */
+  def q27_langid(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(TextStats.langId(col("text")).as("lang_pred"))
+      .groupBy("lang_pred").agg(count(lit(1)).as("n"))
+      .orderBy("lang_pred")
+
+  /** Text/quality scoring: length/punct/stopword heuristics. */
+  def q28_quality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_tokens"),
+        round(TextStats.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TextStats.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        round(TextStats.avgTokenLen(col("text")), 6).as("avg_token_len"),
+        TextStats.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  /** Text/fingerprint: md5 over sorted distinct token set. */
+  def q29_fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** Multimodal plumbing: binary media column → batched stub featurizer
+    * (kernel-based; rows-only check + MultimodalSpec determinism). */
+  def q30_multimodal(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.operators.Multimodal.withFakeMedia(
+      t(s, dir, "documents"), "doc_id", "text")
+    graft.operators.Multimodal.extractFeatures(s, media, dim = 16)
+      .toDF()
+      .select(col("id"), col("dim"),
+        round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+      .orderBy("id")
+  }
+
+  /** Sessionization (stateful-streaming analog in batch SQL): 30-min gap
+    * sessions per user → histogram of session counts. */
+  def q31_sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sessions = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_millis(col("ts").cast("timestamp")) -
+            unix_millis(col("prev_ts").cast("timestamp")) > 1800000L, 1).otherwise(0))
+      .groupBy(col("user_id")).agg(sum(col("new_session")).as("n_sessions"))
+    sessions.groupBy("n_sessions").agg(count(lit(1)).as("n_users"))
+      .orderBy("n_sessions")
+  }
+
+  /** O3: global top-k with deterministic tie-break. */
+  def q32_topk(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** F9-F11 shapes over arrays: higher-order aggregate/transform norms. */
+  def q33_vector_norms(s: SparkSession, dir: String): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        round(aggregate(v, lit(0.0), (acc, x) => acc + abs(x)), 6).as("l1_norm"),
+        round(sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x)), 6).as("l2_norm"),
+        round(GraftFunctions.cosine_sim(v, reverse(v)), 6).as("cos_rev"))
+      .orderBy("vec_id")
+  }
+
+  /** A9: evaluation-metric aggregation (precision/recall from conditions). */
+  def q34_eval_counts(s: SparkSession, dir: String): DataFrame = {
+    val pred = col("value") > 50
+    val label = col("event_type") === "purchase"
+    t(s, dir, "events").agg(
+      sum(when(pred && label, 1L).otherwise(0L)).as("tp"),
+      sum(when(pred && !label, 1L).otherwise(0L)).as("fp"),
+      sum(when(!pred && label, 1L).otherwise(0L)).as("fn"),
+      sum(when(!pred && !label, 1L).otherwise(0L)).as("tn"))
+  }
+
+  // -------------------------------------------------------- ER pipeline surface
+
+  /** The flagship 3-stage linkage on deterministic fixture pages (rows-only:
+    * iterative CC is not SQL-expressible; EndToEndSpec carries the F1 gate). */
+  def q40_er_clusters(s: SparkSession, dir: String): DataFrame = {
+    val pages = graft.fixtures.Fixture.pages(s, 2000).toDF()
+    graft.pipeline.Linkage.runLight(s, pages)
+      .groupBy("cluster_id").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("size")
+  }
+}

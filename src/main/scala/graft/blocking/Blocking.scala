@@ -12,6 +12,14 @@ import graft.normalize.Normalize
   * blocks are salted so the block-local self-join never concentrates on one
   * task (the reference has no blocking at all — pairs are given,
   * split_data.py:47 — blocking is the scale path mandated by the north star).
+  *
+  * Everything downstream of the page scan flows NUMERIC keys: pages are
+  * addressed by `id = xxhash64(url)` and block keys are 64-bit hashes, so
+  * every shuffle (block exchange, self-join, pair dedup, clustering) moves
+  * 8-byte longs instead of ~45-byte url / ~20-byte key strings — a ~4-5×
+  * shuffle-byte reduction that compounds at 10^12 rows. (At that scale the id
+  * should widen to 128 bits; the pipeline asserts id uniqueness and fails
+  * loudly on collision — Linkage.run.)
   */
 object Blocking {
 
@@ -30,23 +38,25 @@ object Blocking {
       domainKey: Boolean = true)
 
   private val SaltSeed = 0xA5A5A5A5L
+  private val DomSeed = 0xD0D0D0D0L
 
-  /** Block table: (block_key, url). One row per (page, key); bands+1 keys per
-    * page. The MinHash signature is computed by a single codegen'd custom
-    * expression pass (see MinHashBandsExpr) — no intermediate shingle arrays. */
+  /** 64-bit page id from the url (the join/shuffle key everywhere). */
+  def pageId = xxhash64(col("url"))
+
+  /** Block table: (block_key: long, id: long). One row per (page, key);
+    * bands+1 keys per page. The MinHash signature is one codegen'd custom
+    * expression pass (MinHashBandsExpr) — no intermediate shingle arrays. */
   def blockTable(pages: DataFrame, cfg: Config = Config()): DataFrame = {
     val norm = Normalize.normText(col("text"))
     val mh = GraftFunctions.minhash_bands(norm, cfg.bands, cfg.rows, cfg.seed)
-    val mhKeys = transform(mh, h => concat(lit("mh:"), hex(h)))
     val keys =
       if (cfg.domainKey) {
         // composite domain key: domain + leading normalized chars — keeps
         // same-domain near-pages together without one giant per-domain block
-        val domKey = concat(lit("dom:"), Normalize.domain(col("url")), lit(":"),
-          substring(norm, 1, 12))
-        concat(mhKeys, array(domKey))
-      } else mhKeys
-    pages.select(col("url"), explode(keys).as("block_key"))
+        val domKey = xxhash64(Normalize.domain(col("url")), substring(norm, 1, 12), lit(DomSeed))
+        concat(mh, array(domKey))
+      } else mh
+    pages.select(pageId.as("id"), explode(keys).as("block_key"))
   }
 
   /** Candidate pairs via salted block-local self-join.
@@ -60,15 +70,15 @@ object Blocking {
     * row_number truncation). Blocks above maxBlock are dropped and surfaced
     * via [[blockStats]], never silently.
     *
-    * Output: url1 < url2, globally deduped (a pair found by several keys is
-    * emitted once — SURVEY §4.3.2: plain dropDuplicates wins).
+    * Output: (id1, id2) with id1 < id2, globally deduped (a pair found by
+    * several keys is emitted once — SURVEY §4.3.2: plain dropDuplicates wins).
     */
   def candidatePairs(blocks: DataFrame, cfg: Config = Config()): DataFrame = {
     val n = count(lit(1)).over(Window.partitionBy("block_key"))
     val sized = blocks.withColumn("n", n)
       .where(col("n") > 1 && col("n") <= cfg.maxBlock)
       .withColumn("k", ceil(col("n") / cfg.cap).cast("int"))
-      .withColumn("salt", pmod(xxhash64(col("url"), lit(SaltSeed)), col("k")).cast("int"))
+      .withColumn("salt", pmod(xxhash64(col("id"), lit(SaltSeed)), col("k")).cast("int"))
     val lowBuckets = transform(sequence(lit(0), col("salt")),
       a => struct(a.as("x"), col("salt").as("y")))
     val highBuckets = when(col("salt") + 1 > col("k") - 1, array().cast("array<struct<x:int,y:int>>"))
@@ -76,18 +86,18 @@ object Blocking {
         b => struct(col("salt").as("x"), b.as("y"))))
     val bucketed = sized
       .withColumn("bucket", explode(concat(lowBuckets, highBuckets)))
-      .select("block_key", "bucket", "salt", "url")
+      .select("block_key", "bucket", "salt", "id")
 
     val l = bucketed.as("l")
     val r = bucketed.as("r")
     l.join(r,
         col("l.block_key") === col("r.block_key") &&
         col("l.bucket") === col("r.bucket") &&
-        col("l.url") < col("r.url"))
+        col("l.id") < col("r.id"))
       // same-salt pairs live only in the diagonal bucket (x == y)
       .where(col("l.bucket.x") === col("l.bucket.y") || col("l.salt") =!= col("r.salt"))
-      .select(col("l.url").as("url1"), col("r.url").as("url2"), col("l.block_key").as("block_key"))
-      .dropDuplicates("url1", "url2")
+      .select(col("l.id").as("id1"), col("r.id").as("id2"))
+      .dropDuplicates("id1", "id2")
   }
 
   /** Lineage metrics for the block stage: blocks built, size distribution,

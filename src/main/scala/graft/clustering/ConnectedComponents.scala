@@ -14,6 +14,7 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** assignments: (node, root) — root is the component minimum. */
   case class Result(assignments: DataFrame, iterations: Int, mergesApplied: Long)
 
   /** Edges after each phase are kept canonical: (node, root) with root < node. */
@@ -39,19 +40,23 @@ object ConnectedComponents {
     moved.unionByName(self).distinct()
   }
 
-  /** Signature for convergence: (edge count, order-independent hash sum).
-    * Avoids a driver collect of the edge set (SURVEY §7.5.5). */
-  private def signature(e: DataFrame): (Long, Long) = {
-    val row = e.agg(
+  /** Convergence signature (edge count, order-independent hash) is collected
+    * as an `observe` side effect of the checkpoint materialization — zero
+    * extra jobs per iteration, no driver collect of the edge set
+    * (SURVEY §7.5.5). */
+  private def checkpointWithSignature(df: DataFrame): (DataFrame, (Long, Long)) = {
+    val observed = df.observe("cc_sig",
       count(lit(1)).as("n"),
-      coalesce(expr("bit_xor(xxhash64(node, root))"), lit(0L)).as("h")).collect()(0)
-    (row.getLong(0), row.getLong(1))
+      coalesce(expr("bit_xor(xxhash64(node, root))"), lit(0L)).as("h"))
+    val materialized = observed.localCheckpoint() // action: runs + records metrics
+    val row = observed.queryExecution.observedMetrics("cc_sig")
+    (materialized, (row.getLong(0), row.getLong(1)))
   }
 
   /**
     * @param edges         (src, dst) above-threshold pairs, any orientation
-    * @param nodes         optional universe of nodes (urls); singletons get
-    *                      cluster_id = own url
+    * @param nodes         optional universe of nodes (single column "node",
+    *                      any orderable type); singletons get root = self
     * @param checkpointDir if set, each iteration's edge table is written as a
     *                      Parquet snapshot (north rule: checkpointed
     *                      per-iteration edge tables)
@@ -65,23 +70,20 @@ object ConnectedComponents {
       maxIter: Int = 30,
       checkpointDir: Option[String] = None,
       trackMerges: Boolean = true): Result = {
-    var e = edges
+    var (e, sig) = checkpointWithSignature(edges
       .select(greatest(col("src"), col("dst")).as("node"), least(col("src"), col("dst")).as("root"))
       .where(col("node") =!= col("root"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
 
-    var sig = signature(e)
     var iter = 0
     var merges = 0L
-    var converged = e.isEmpty
+    var converged = sig._1 == 0L
     while (!converged && iter < maxIter) {
       iter += 1
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val (next, nextSig) = checkpointWithSignature(smallStar(largeStar(e)))
       checkpointDir.foreach { dir =>
         next.write.mode("overwrite").parquet(s"$dir/edges_iter_$iter")
       }
-      val nextSig = signature(next)
       if (trackMerges) {
         // merges applied this round = root pointers created or rewritten
         merges += next.join(e.withColumnRenamed("root", "prev"), Seq("node"), "left")
@@ -92,14 +94,14 @@ object ConnectedComponents {
       e = next
     }
 
-    val assign = e.select(col("node").as("url"), col("root").as("cluster_id"))
+    val assign = e.select(col("node"), col("root"))
     val result = nodes match {
       case Some(n) =>
-        n.select("url").join(assign, Seq("url"), "left")
-          .select(col("url"), coalesce(col("cluster_id"), col("url")).as("cluster_id"))
+        n.select("node").join(assign, Seq("node"), "left")
+          .select(col("node"), coalesce(col("root"), col("node")).as("root"))
       case None =>
         assign.unionByName(
-          e.select(col("root").as("url"), col("root").as("cluster_id")).distinct())
+          e.select(col("root").as("node"), col("root")).distinct())
     }
     Result(result, iter, merges)
   }

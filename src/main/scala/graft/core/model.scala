@@ -24,13 +24,17 @@ case class BlockEntry(block_key: String, url: String)
 /** Candidate pair emitted by block-local self-join, canonical url1 < url2. */
 case class CandidatePair(url1: String, url2: String)
 
-/** Per-page scoring attributes, computed once (not per pair). `vec` is the
-  * composed frozen-embedding vector (reference composition 'average',
-  * Deeper.py:233-236, via broadcast lookup). */
-case class ScoreAttrs(url: String, title: String, prefix: String, price: Double, vec: Array[Float])
+/** Per-page scoring attributes, computed once (not per pair). `id` is the
+  * 64-bit page id (xxhash64(url)); `vec` is the composed frozen-embedding
+  * vector (reference composition 'average', Deeper.py:233-236, via broadcast
+  * lookup). */
+case class ScoreAttrs(id: Long, url: String, title: String, prefix: String,
+                      price: Double, vec: Array[Float])
 
-/** Scored candidate pair (FIXTURES.md §5 scored_pairs shape). */
-case class ScoredPair(url1: String, url2: String, jaro_winkler: Double, levenshtein_sim: Double,
+/** Scored candidate pair (FIXTURES.md §5 scored_pairs shape, plus the
+  * numeric pair ids that downstream clustering shuffles instead of urls). */
+case class ScoredPair(id1: Long, id2: Long, url1: String, url2: String,
+                      jaro_winkler: Double, levenshtein_sim: Double,
                       cosine: Double, num_sim: Double, score: Double)
 
 case class Edge(src: String, dst: String)

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
 
 import graft.blocking.Blocking
 import graft.clustering.ConnectedComponents
@@ -16,6 +17,11 @@ import graft.scoring.Scoring
   * complete stage. The per-row invariant (byte-identical text per url,
   * evidenced by an order-independent hash-sum of sha256(text)) is recorded at
   * ingest and re-verifiable at any point.
+  *
+  * All inter-stage shuffles move 64-bit ids (xxhash64(url)); urls reappear
+  * only in the scored output and the final cluster mapping. Id uniqueness is
+  * asserted (a 64-bit id is collision-safe to ~10^9 pages; beyond that widen
+  * to 128-bit — the check fails loudly rather than corrupting clusters).
   */
 object Linkage {
 
@@ -41,6 +47,30 @@ object Linkage {
       org.apache.spark.unsafe.types.UTF8String.fromString(s).hashCode.toLong & 0xFFFFFFFFL)
   }
 
+  /** Map CC (node=id, root=id) assignments to (url, cluster_id) with
+    * cluster_id = min url of the component (FIXTURES.md §5). */
+  private def toUrlClusters(assign: DataFrame, idUrl: DataFrame): DataFrame = {
+    val withUrl = assign.join(idUrl, "node")
+    val clusterIds = withUrl.groupBy("root").agg(min("url").as("cluster_id"))
+    withUrl.join(clusterIds, "root").select(col("url"), col("cluster_id"))
+  }
+
+  /** In-memory pipeline (no snapshots) — bench / entry / ad-hoc use. */
+  def runLight(spark: SparkSession, pages: DataFrame,
+               blocking: Blocking.Config = Blocking.Config(),
+               weights: Scoring.Weights = Scoring.Weights(),
+               pairsScored: Option[LongAccumulator] = None): DataFrame = {
+    import spark.implicits._
+    val attrs = Scoring.attrs(spark, pages)
+    val cands = Blocking.candidatePairs(Blocking.blockTable(pages, blocking), blocking)
+    val scored = Scoring.score(spark, cands, attrs, weights, pairsScored)
+    val edges = Scoring.edges(scored, weights.threshold)
+    val idUrl = attrs.toDF().select(col("id").as("node"), col("url"))
+    val cc = ConnectedComponents.run(spark, edges,
+      nodes = Some(idUrl.select("node")), trackMerges = false)
+    toUrlClusters(cc.assignments, idUrl)
+  }
+
   def run(spark: SparkSession, pages: DataFrame, cfg: Config): Result = {
     import spark.implicits._
     val store = new SnapshotStore(spark, cfg.workDir, cfg.resume)
@@ -61,14 +91,18 @@ object Linkage {
     val attrs = track("attrs", store.stage("attrs", fp) {
       Scoring.attrs(spark, pages).toDF()
     })
+    // id-collision guard: 64-bit ids must be unique or clusters would merge silently
+    val idCheck = attrs.agg(count(lit(1)).as("n"), countDistinct(col("id")).as("d")).collect()(0)
+    require(idCheck.getLong(0) == idCheck.getLong(1),
+      s"xxhash64(url) collision detected (${idCheck.getLong(0)} rows, ${idCheck.getLong(1)} ids): widen page id to 128-bit")
 
-    // stage 1b: salted block table
+    // stage 1b: salted block table (numeric keys)
     val blocks = track("blocks", store.stage("blocks", fp,
       countersFromWritten = w => Blocking.blockStats(w, cfg.blocking)) {
       Blocking.blockTable(pages, cfg.blocking)
     })
 
-    // stage 2a: block-local self-join → candidate pairs
+    // stage 2a: block-local self-join → candidate pairs (id1, id2)
     val pairs = track("pairs", store.stage("pairs", fp) {
       Blocking.candidatePairs(blocks, cfg.blocking)
     })
@@ -80,20 +114,21 @@ object Linkage {
       Scoring.score(spark, pairs, attrs.as[ScoreAttrs], cfg.weights, Some(pairsScored)).toDF()
     })
 
-    // stage 3: transitive clustering (large-star/small-star)
+    // stage 3: transitive clustering (large-star/small-star on 64-bit ids)
     val edges = scored.where(col("score") >= cfg.weights.threshold)
-      .select(col("url1").as("src"), col("url2").as("dst"))
+      .select(col("id1").as("src"), col("id2").as("dst"))
     val ccDir = if (cfg.checkpointCC) Some(s"${cfg.workDir}/cc") else None
     var ccIters = 0L
     var ccMerges = 0L
     val clusters = track("clusters", store.stage("clusters", fp,
       countersFromWritten = _ =>
         Map("cc_iterations" -> ccIters, "merges_applied" -> ccMerges)) {
-      val cc = ConnectedComponents.run(spark, edges, nodes = Some(pages.select("url")),
+      val idUrl = attrs.select(col("id").as("node"), col("url"))
+      val cc = ConnectedComponents.run(spark, edges, nodes = Some(idUrl.select("node")),
         checkpointDir = ccDir, trackMerges = cfg.trackMerges)
       ccIters = cc.iterations.toLong
       ccMerges = cc.mergesApplied
-      cc.assignments
+      toUrlClusters(cc.assignments, idUrl)
     })
 
     Result(clusters, counters, resumed)

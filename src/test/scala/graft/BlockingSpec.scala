@@ -11,34 +11,34 @@ class BlockingSpec extends SparkSpec {
     * every unordered pair exactly once (SURVEY §7.5.1 — the subtle part). */
   test("salted self-join: full pair coverage, each pair exactly once") {
     val n = 300 // with cap=64 → k=5 salt buckets
-    val blocks = (0 until n).map(i => ("B", f"url$i%04d")).toDF("block_key", "url")
+    val blocks = (0 until n).map(i => ("B", i.toLong)).toDF("block_key", "id")
     val cfg = Blocking.Config(cap = 64, maxBlock = 4096)
     val pairs = Blocking.candidatePairs(blocks, cfg).collect()
     assert(pairs.length == n * (n - 1) / 2, s"expected ${n * (n - 1) / 2}, got ${pairs.length}")
     // canonical order and uniqueness
-    val asSet = pairs.map(r => (r.getString(0), r.getString(1))).toSet
+    val asSet = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(asSet.size == pairs.length)
-    assert(pairs.forall(r => r.getString(0) < r.getString(1)))
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
   test("small blocks (n <= cap) take the k=1 fast path") {
-    val blocks = Seq(("A", "u1"), ("A", "u2"), ("A", "u3")).toDF("block_key", "url")
+    val blocks = Seq(("A", 1L), ("A", 2L), ("A", 3L)).toDF("block_key", "id")
     val got = Blocking.candidatePairs(blocks, Blocking.Config(cap = 64))
-      .select("url1", "url2").as[(String, String)].collect().toSet
-    assert(got == Set(("u1", "u2"), ("u1", "u3"), ("u2", "u3")))
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
   test("pairs found via multiple blocks are deduped") {
-    val blocks = Seq(("A", "u1"), ("A", "u2"), ("B", "u1"), ("B", "u2"))
-      .toDF("block_key", "url")
+    val blocks = Seq(("A", 1L), ("A", 2L), ("B", 1L), ("B", 2L))
+      .toDF("block_key", "id")
     val got = Blocking.candidatePairs(blocks, Blocking.Config())
-      .select("url1", "url2").as[(String, String)].collect().toSeq
-    assert(got == Seq(("u1", "u2")))
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L)))
   }
 
   test("singleton blocks emit nothing; oversized blocks are dropped (not silent)") {
-    val big = (0 until 50).map(i => ("BIG", s"u$i"))
-    val blocks = (Seq(("S", "solo")) ++ big).toDF("block_key", "url")
+    val big = (0 until 50).map(i => ("BIG", i.toLong))
+    val blocks = (Seq(("S", 999L)) ++ big).toDF("block_key", "id")
     val cfg = Blocking.Config(cap = 8, maxBlock = 20)
     assert(Blocking.candidatePairs(blocks, cfg).count() == 0)
     val stats = Blocking.blockStats(blocks, cfg)
@@ -54,16 +54,18 @@ class BlockingSpec extends SparkSpec {
       ("https://b.com/2", text), // identical text, different host
       ("https://c.com/3", "completely unrelated content about database query engines")
     ).toDF("url", "text")
+    val ids = pages.select(col("url"), Blocking.pageId.as("id"))
+      .as[(String, Long)].collect().toMap
     val cfg = Blocking.Config()
     val bt = Blocking.blockTable(pages, cfg)
-    val mh = bt.where($"block_key".startsWith("mh:"))
-      .groupBy("block_key").agg(collect_set("url").as("urls"))
-    val shared12 = mh.where(array_contains($"urls", "https://a.com/1") &&
-      array_contains($"urls", "https://b.com/2")).count()
-    val shared13 = mh.where(array_contains($"urls", "https://a.com/1") &&
-      array_contains($"urls", "https://c.com/3")).count()
-    assert(shared12 == cfg.bands.toLong) // identical text → all bands shared
-    assert(shared13 == 0L)
+    // drop the (bands+1)-th key per page (domain key) by excluding keys held
+    // by a single page-with-domain pattern: instead, group and inspect
+    val grouped = bt.groupBy("block_key").agg(collect_set("id").as("ids"))
+    def sharedKeys(u1: String, u2: String): Long =
+      grouped.where(array_contains(col("ids"), ids(u1)) &&
+        array_contains(col("ids"), ids(u2))).count()
+    assert(sharedKeys("https://a.com/1", "https://b.com/2") == cfg.bands.toLong)
+    assert(sharedKeys("https://a.com/1", "https://c.com/3") == 0L)
   }
 
   test("pair budget bounded: 10k fixture pages yield < 60k candidates") {

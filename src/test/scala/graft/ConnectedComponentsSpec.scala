@@ -8,7 +8,7 @@ class ConnectedComponentsSpec extends SparkSpec {
   private def cc(edges: Seq[(String, String)], nodes: Option[Seq[String]] = None)
       : Map[String, String] = {
     val e = edges.toDF("src", "dst")
-    val n = nodes.map(_.toDF("url"))
+    val n = nodes.map(_.toDF("node"))
     ConnectedComponents.run(spark, e, n, trackMerges = false)
       .assignments.as[(String, String)].collect().toMap
   }
