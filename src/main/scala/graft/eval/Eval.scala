@@ -11,6 +11,19 @@ import graft.core.{LabeledPair, PairMetrics}
   * is predicted positive iff both urls land in the same final cluster. */
 object Eval {
 
+  /** AUROC via the Mann-Whitney rank statistic over (score, label) rows —
+    * distributed sort + zipWithIndex, no global window (the reference reports
+    * sklearn AUROC on held-out pairs, train_deeper.py:357-361). */
+  def auroc(scoredLabeled: DataFrame): Double = {
+    val ranked = scoredLabeled.select(col("score").cast("double"), col("label").cast("int"))
+      .orderBy("score").rdd.zipWithIndex()
+    val (posRankSum, nPos, nNeg) = ranked.map { case (row, idx) =>
+      if (row.getInt(1) == 1) (idx.toDouble + 1.0, 1L, 0L) else (0.0, 0L, 1L)
+    }.fold((0.0, 0L, 0L)) { case ((r1, p1, n1), (r2, p2, n2)) => (r1 + r2, p1 + p2, n1 + n2) }
+    if (nPos == 0 || nNeg == 0) return 1.0
+    (posRankSum - nPos.toDouble * (nPos + 1) / 2.0) / (nPos.toDouble * nNeg)
+  }
+
   def pairwise(assignments: DataFrame, labeled: Dataset[LabeledPair]): PairMetrics = {
     val a = assignments.select(col("url").as("url1"), col("cluster_id").as("c1"))
     val b = assignments.select(col("url").as("url2"), col("cluster_id").as("c2"))

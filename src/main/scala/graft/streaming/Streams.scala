@@ -18,7 +18,9 @@ object Streams {
     * readStream; on a batch frame it is a no-op column marker). */
   def windowedAgg(events: DataFrame, windowLen: String = "1 hour",
                   watermark: String = "2 hours"): DataFrame = {
-    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    // event time must be TIMESTAMP (not NTZ) for watermarking; session TZ is UTC
+    val tz = events.withColumn("ts", col("ts").cast("timestamp"))
+    val src = if (tz.isStreaming) tz.withWatermark("ts", watermark) else tz
     src.groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
       .select(col("w.start").as("bucket"), col("event_type"), col("n"), col("total"))
@@ -26,7 +28,8 @@ object Streams {
 
   /** Exactly-once-per-key dedup within the watermark horizon. */
   def dedupWithinWatermark(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
-    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    val tz = events.withColumn("ts", col("ts").cast("timestamp"))
+    val src = if (tz.isStreaming) tz.withWatermark("ts", watermark) else tz
     src.dropDuplicates("event_id")
   }
 

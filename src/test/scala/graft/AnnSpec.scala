@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ann
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = graft.core.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    .select($"vec_id", $"embedding").cache()
+
+  test("brute-force top-k: k rows per query, descending cosine, no self") {
+    val queries = emb.where($"vec_id" < 5)
+    val got = Ann.bruteTopK(emb, queries, "vec_id", "embedding", k = 5).cache()
+    assert(got.groupBy("query_id").count().where($"count" =!= 5).count() == 0)
+    assert(got.where($"query_id" === $"corpus_id").count() == 0)
+    // ranks are ordered by cosine desc within each query
+    val bad = got.as("a").join(got.as("b"),
+      $"a.query_id" === $"b.query_id" && $"a.rank" < $"b.rank" &&
+        $"a.cosine" < $"b.cosine")
+    assert(bad.count() == 0)
+  }
+
+  test("SRP-LSH top-k: recall@5 vs brute force is meaningfully high") {
+    val queries = emb.where($"vec_id" < 20)
+    val brute = Ann.bruteTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "corpus_id")
+    val lsh = Ann.srpTopK(emb, queries, "vec_id", "embedding", k = 5, nBits = 6)
+      .select("query_id", "corpus_id")
+    val hits = brute.join(lsh, Seq("query_id", "corpus_id"), "left_semi").count()
+    val total = brute.count()
+    val recall = hits.toDouble / total
+    info(f"SRP recall@5 = $recall%.3f ($hits/$total)")
+    // random vectors are a worst case for LSH; still must beat random scan
+    assert(recall >= 0.3, f"recall $recall%.3f too low")
+  }
+
+  test("SRP-LSH scans far fewer candidates than brute force") {
+    // bucket histogram: no bucket should hold a large fraction of the corpus
+    val bucketed = emb.select(
+      graft.functions.GraftFunctions.srp_bucket($"embedding", 6, 42L).as("b"))
+      .groupBy("b").count()
+    val maxBucket = bucketed.agg(max("count")).as[Long].collect()(0)
+    val totalRows = emb.count()
+    assert(maxBucket < totalRows / 2, s"degenerate SRP bucketing: $maxBucket/$totalRows")
+  }
+}

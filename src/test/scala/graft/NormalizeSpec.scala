@@ -51,6 +51,15 @@ class NormalizeSpec extends SparkSpec {
     assert(before == after)
   }
 
+  test("single-pass norm expression ≡ the regex-chain form on fixture corpus") {
+    val pages = graft.fixtures.Fixture.pages(spark, 2000)
+    val diff = pages.select(
+        Normalize.normText($"text").as("fast"),
+        Normalize.normTextRegex($"text").as("ref"))
+      .where($"fast" =!= $"ref")
+    assert(diff.count() == 0)
+  }
+
   test("domain: normalized url host") {
     val got = Seq("https://Site3.Example.com/p/x?q=1").toDF("url")
       .select(Normalize.domain($"url")).as[String].collect()(0)

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextStats}
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup groups identical texts, keeps min id as representative") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"), (4L, "same text"))
+      .toDF("id", "text")
+    val groups = Dedup.exact(df, "id", "text")
+      .select("rep_id", "group_size").as[(Long, Long)].collect().toSet
+    assert(groups == Set((1L, 3L), (3L, 1L)))
+    val summary = Dedup.exactSummary(df, "id", "text")
+      .as[(Long, Long)].collect()(0)
+    assert(summary == ((2L, 2L)))
+  }
+
+  test("minhash dedup finds planted fixture duplicates (recall ≥ 0.99)") {
+    val pt = Fixture2k.pt
+    val pages = pt.drop("entity_id")
+    val cands = Dedup.minhashCandidates(
+      pages.withColumn("doc_id", xxhash64($"url")), "doc_id", "text")
+    // truth pairs keyed by the same hash ids
+    val ids = pt.select(xxhash64($"url").as("hid"), $"entity_id")
+    val truth = ids.as("a").join(ids.as("b"),
+        $"a.entity_id" === $"b.entity_id" && $"a.hid" < $"b.hid")
+      .select($"a.hid".as("id1"), $"b.hid".as("id2"))
+    val nTruth = truth.count()
+    val found = truth.join(cands, Seq("id1", "id2"), "left_semi").count()
+    assert(found >= (nTruth * 0.99).toLong, s"recall ${found.toDouble / nTruth}")
+  }
+
+  test("simhash near-dup: hamming-banded candidates catch near-identical docs") {
+    // simhash hamming ≤ 3 needs long documents (bit margins grow ~√n_tokens;
+    // a 1-token change in a 12-token doc legitimately flips >3 bits)
+    val r = new scala.util.Random(3)
+    val base = (0 until 800).map(_ =>
+      (0 until 5).map(_ => ('a' + r.nextInt(26)).toChar).mkString)
+    val near = base.updated(400, "zzzzz")
+    val far = base.reverseIterator.map(_.reverse).toSeq
+    val docs = Seq((1L, base.mkString(" ")), (2L, near.mkString(" ")),
+      (3L, far.mkString(" "))).toDF("id", "text")
+    val got = Dedup.simhashNearDup(docs, "id", "text", maxHamming = 3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)))
+    assert(!got.contains((1L, 3L)))
+  }
+
+  test("ngram jaccard pairs: thresholds and block locality") {
+    val docs = Seq(
+      (1L, "a", "the quick brown fox jumps over the lazy dog"),
+      (2L, "a", "the quick brown fox jumps over the lazy cat"),
+      (3L, "a", "entirely unrelated words about query planning"),
+      (4L, "b", "the quick brown fox jumps over the lazy dog") // other block
+    ).toDF("id", "blk", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "id", "text", Seq("blk"), n = 1, tau = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L))) // 3 below tau; 4 in another block
+  }
+
+  test("embedding near-dup: brute and LSH-bucketed agree on high-sim pairs") {
+    val vecs = (0 until 60).map { i =>
+      val base = Array.tabulate(16)(j => math.sin(i * 0.7 + j).toFloat)
+      (i.toLong, base)
+    } ++ Seq((100L, Array.fill(16)(0.5f)), (101L, Array.fill(16)(0.50001f)))
+    val df = vecs.toDF("id", "v")
+    val brute = Dedup.embeddingNearDup(df, "id", "v", tau = 0.999, nBits = 0)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingNearDup(df, "id", "v", tau = 0.999, nBits = 8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(brute.contains((100L, 101L)))
+    assert(lsh.contains((100L, 101L))) // identical-direction vectors share every SRP bucket
+    assert(lsh.subsetOf(brute)) // LSH never invents pairs, only misses
+  }
+
+  test("langid picks the language with most marker hits") {
+    val df = Seq(
+      "the cat and the dog is here",
+      "der hund und die katze ist hier",
+      "el perro es grande la casa",
+      "xyzzy plugh nothing matches here").toDF("text")
+    val got = df.select(TextStats.langId($"text")).as[String].collect().toSeq
+    assert(got == Seq("en", "de", "es", "und"))
+  }
+
+  test("quality score: longer clean prose beats short punct-heavy text") {
+    val good = ("the quick brown fox and the lazy dog " * 3).trim
+    val bad = "!!! ??? ### $$$ %%%"
+    val df = Seq(good, bad).toDF("text")
+    val Seq(qGood, qBad) = df.select(TextStats.qualityScore($"text")).as[Double].collect().toSeq
+    assert(qGood > qBad)
+    assert(qGood >= 0.0 && qGood <= 1.0 && qBad >= 0.0 && qBad <= 1.0)
+  }
+
+  test("fingerprint is token-order and duplication insensitive") {
+    val df = Seq("alpha beta gamma", "gamma beta alpha alpha", "alpha beta delta")
+      .toDF("text")
+    val fps = df.select(TextStats.fingerprint($"text")).as[String].collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+}
+
+/** Shared 2k-page fixture for operator tests (computed once, cached). */
+object Fixture2k {
+  lazy val pt = graft.fixtures.Fixture.pagesWithTruth(TestSpark.spark, 2000).cache()
+}

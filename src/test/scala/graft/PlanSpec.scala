@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions: the optimizations we rely on at 100 TB must be
+  * visible in the executed plan, not assumed — filter/column pushdown into
+  * the parquet scan, broadcast joins for dims, and whole-stage codegen over
+  * the custom similarity expressions. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q01: filter and projection are pushed into the parquet scan") {
+    val plan = formatted(Queries.q01_scan_filter_project(spark, dir))
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("LessThan(l_quantity"), "quantity filter not pushed")
+    assert(plan.contains("ReadSchema"))
+    // column pruning: unselected wide columns never reach the scan
+    assert(!plan.contains("l_extendedprice"), "column pruning failed")
+  }
+
+  test("q04: dimension joins execute as broadcast hash joins") {
+    val plan = formatted(Queries.q04_broadcast_dims(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(2000))
+  }
+
+  test("q05: anti join planned as broadcast/shuffled anti, not cartesian") {
+    val plan = formatted(Queries.q05_anti_join(spark, dir))
+    assert(plan.contains("LeftAnti"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("scoring stage stays inside whole-stage codegen (no row objects)") {
+    import spark.implicits._
+    val pages = graft.fixtures.Fixture.pages(spark, 200).toDF()
+    val attrs = graft.scoring.Scoring.attrs(spark, pages)
+    val cfg = graft.blocking.Blocking.Config()
+    val cands = graft.blocking.Blocking.candidatePairs(
+      graft.blocking.Blocking.blockTable(pages, cfg), cfg)
+    val scored = graft.scoring.Scoring.score(spark, cands, attrs).toDF()
+      .select("jaro_winkler", "levenshtein_sim", "cosine", "score")
+    scored.collect() // finalize THIS dataset's adaptive plan (count() would execute a different QE)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("jarowinklerexpr"), "custom JW expression missing from plan")
+    assert(plan.contains("levenshteinsimexpr"), "custom Levenshtein expression missing")
+    assert(plan.contains("cosinesimexpr"), "custom cosine expression missing")
+    // '*(n)' marks whole-stage-codegen'd operators in the final plan
+    val projLine = plan.linesIterator.find(_.contains("jarowinklerexpr"))
+    assert(projLine.exists(_.contains("*(")), s"similarity projection not codegen'd: $projLine")
+  }
+
+  test("blocking: minhash bands are one custom expression, not an expr chain") {
+    val pages = graft.fixtures.Fixture.pages(spark, 50).toDF()
+    val plan = formatted(graft.blocking.Blocking.blockTable(pages))
+    assert(plan.contains("minhashbandsexpr"), plan.take(1500))
+    assert(plan.contains("normtextexpr"), "single-pass normalizer missing")
+  }
+}

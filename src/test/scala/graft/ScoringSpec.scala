@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.eval.Eval
+import graft.fixtures.Fixture
+import graft.scoring.Scoring
+
+class ScoringSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val pt = Fixture2k.pt
+  private lazy val pages = pt.drop("entity_id").cache()
+  private lazy val labeled = Fixture.labeledPairs(spark, pt).cache()
+
+  private def scoredWithLabels(comp: Scoring.Composition) = {
+    val attrs = Scoring.attrs(spark, pages, comp)
+    val withIds = labeled.toDF()
+      .withColumn("id1", xxhash64(col("url1")))
+      .withColumn("id2", xxhash64(col("url2")))
+    Scoring.score(spark, withIds.select("id1", "id2"), attrs)
+      .toDF().drop("url1", "url2")
+      .join(withIds, Seq("id1", "id2"))
+  }
+
+  test("average composition separates labels (frozen weights)") {
+    val s = scoredWithLabels(Scoring.Average).cache()
+    val posMin = s.where($"label" === 1).agg(min("score")).as[Double].collect()(0)
+    val negMax = s.where($"label" === 0).agg(max("score")).as[Double].collect()(0)
+    info(f"average: posMin=$posMin%.4f negMax=$negMax%.4f")
+    assert(posMin > 0.5 && negMax < 0.5)
+  }
+
+  test("idf composition separates labels too (Deeper.py:241-275 semantics)") {
+    val s = scoredWithLabels(Scoring.Idf).cache()
+    val posMin = s.where($"label" === 1).agg(min("score")).as[Double].collect()(0)
+    val negMax = s.where($"label" === 0).agg(max("score")).as[Double].collect()(0)
+    info(f"idf: posMin=$posMin%.4f negMax=$negMax%.4f")
+    assert(posMin > 0.5 && negMax < 0.5)
+  }
+
+  test("idf downweights ubiquitous tokens relative to rare ones") {
+    // corpus where va+vb appear everywhere and vc exactly once (real fixture
+    // vocab words so the frozen embeddings exist)
+    val va = Fixture.vocab(0); val vb = Fixture.vocab(1); val vc = Fixture.vocab(2)
+    val corpus = ((0 until 50).map(i => (s"https://x.com/$i", s"$va $vb")) :+
+      ((s"https://x.com/rare", s"$va $vc"))).toDF("url", "text")
+    val avg = Scoring.attrs(spark, corpus, Scoring.Average)
+      .where($"url" === "https://x.com/rare").collect()(0).vec
+    val idf = Scoring.attrs(spark, corpus, Scoring.Idf)
+      .where($"url" === "https://x.com/rare").collect()(0).vec
+    val eRare = Fixture.embeddingMatrix(Fixture.vocabIndex(vc))
+    // idf vector must be closer to the rare token's embedding than average
+    val cosAvg = graft.functions.Similarity.cosine(avg, eRare)
+    val cosIdf = graft.functions.Similarity.cosine(idf, eRare)
+    assert(cosIdf > cosAvg, f"idf=$cosIdf%.3f avg=$cosAvg%.3f")
+  }
+
+  test("AUROC: perfect separation gives 1.0; degenerate labels guarded") {
+    val s = scoredWithLabels(Scoring.Average)
+    val a = Eval.auroc(s.select("score", "label"))
+    info(f"AUROC = $a%.5f")
+    assert(a >= 0.999)
+    val flat = Seq((0.3, 1), (0.7, 1)).toDF("score", "label")
+    assert(Eval.auroc(flat) == 1.0)
+  }
+
+  test("numeric sims wired with reference semantics into score") {
+    // identical price across dup copies → num_sim = exp(0) = 1 for positives
+    val attrs = Scoring.attrs(spark, pages)
+    val pos = labeled.where($"label" === 1).limit(50).toDF()
+      .withColumn("id1", xxhash64(col("url1")))
+      .withColumn("id2", xxhash64(col("url2")))
+    val scored = Scoring.score(spark, pos.select("id1", "id2"), attrs)
+    assert(scored.where(abs($"num_sim" - 1.0) > 1e-9).count() == 0)
+  }
+}
