@@ -31,7 +31,12 @@ object LinkageMain {
     val weights = opts.get("threshold")
       .map(t => graft.scoring.Scoring.Weights(threshold = t.toDouble))
       .getOrElse(graft.scoring.Scoring.Weights())
-    val cfg = Linkage.Config(workDir = out, resume = resume, weights = weights)
+    val composition = opts.get("composition") match {
+      case Some("idf") => graft.scoring.Scoring.Idf
+      case _ => graft.scoring.Scoring.Average
+    }
+    val cfg = Linkage.Config(workDir = out, resume = resume, weights = weights,
+      composition = composition)
 
     val t0 = System.nanoTime()
     val result = Linkage.run(spark, pages, cfg)

@@ -28,6 +28,7 @@ object Linkage {
   case class Config(
       blocking: Blocking.Config = Blocking.Config(),
       weights: Scoring.Weights = Scoring.Weights(),
+      composition: Scoring.Composition = Scoring.Average,
       workDir: String,
       resume: Boolean = false,
       trackMerges: Boolean = true,
@@ -42,7 +43,7 @@ object Linkage {
   def fingerprint(cfg: Config): String = {
     val s = s"b=${cfg.blocking.bands},r=${cfg.blocking.rows},seed=${cfg.blocking.seed}," +
       s"cap=${cfg.blocking.cap},max=${cfg.blocking.maxBlock},dom=${cfg.blocking.domainKey}," +
-      s"w=${cfg.weights}"
+      s"w=${cfg.weights},comp=${cfg.composition}"
     java.lang.Long.toHexString(
       org.apache.spark.unsafe.types.UTF8String.fromString(s).hashCode.toLong & 0xFFFFFFFFL)
   }
@@ -69,7 +70,10 @@ object Linkage {
       import spark.implicits._
       Scoring.attrs(spark, p).toDF().localCheckpoint().as[ScoreAttrs]
     }
-    val cands = Blocking.candidatePairs(Blocking.blockTable(p, blocking), blocking)
+    // materialize the block table once: the self-join consumes it twice and
+    // the broadcast variant would otherwise recompute the minhash pass per side
+    val blocks = Blocking.blockTable(p, blocking).localCheckpoint()
+    val cands = Blocking.candidatePairs(blocks, blocking)
     val scored = Scoring.score(spark, cands, attrs, weights)
     // the pairs_scored observe metric (attached inside Scoring.score) rides
     // the edge materialization — read back from the executed plan below
@@ -110,7 +114,7 @@ object Linkage {
 
     // stage 1a: per-page scoring attributes (frozen-embedding composition)
     val attrs = track("attrs", store.stage("attrs", fp) {
-      Scoring.attrs(spark, pages).toDF()
+      Scoring.attrs(spark, pages, cfg.composition).toDF()
     })
     // id-collision guard: 64-bit ids must be unique or clusters would merge silently
     val idCheck = attrs.agg(count(lit(1)).as("n"), countDistinct(col("id")).as("d")).collect()(0)
