@@ -23,7 +23,7 @@ object LinkageMain {
     val input = opts.getOrElse("input", "fixture:10000")
     val resume = opts.contains("resume")
 
-    val spark: SparkSession = Sessions.local(parallelism, "graft-linkage")
+    val spark: SparkSession = Sessions.auto(parallelism, "graft-linkage")
     val pages =
       if (input.startsWith("fixture:")) Fixture.pages(spark, input.stripPrefix("fixture:").toLong).toDF()
       else spark.read.parquet(input)

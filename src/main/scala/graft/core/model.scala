@@ -55,15 +55,26 @@ case class PairMetrics(tp: Long, fp: Long, fn: Long, tn: Long) {
 object Sessions {
   /** Local session sized to the sandbox: shuffle partitions = cores (not 200),
     * AQE on (runtime coalesce + skew-join backstop). */
-  def local(cores: Int, appName: String = "graft"): SparkSession = {
-    val spark = SparkSession.builder()
-      .master(s"local[$cores]")
-      .appName(appName)
-      .config("spark.sql.shuffle.partitions", cores.toString)
+  def local(cores: Int, appName: String = "graft"): SparkSession =
+    build(Some(cores), appName)
+
+  /** spark-submit-aware session: if a master was provided externally
+    * (spark-submit --master / --num-executors), respect it and its
+    * parallelism; otherwise fall back to local[cores]. */
+  def auto(cores: Int, appName: String = "graft"): SparkSession =
+    build(if (sys.props.contains("spark.master")) None else Some(cores), appName)
+
+  private def build(localCores: Option[Int], appName: String): SparkSession = {
+    val b0 = SparkSession.builder().appName(appName)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val b = localCores match {
+      case Some(c) => b0.master(s"local[$c]")
+        .config("spark.sql.shuffle.partitions", c.toString)
+        .config("spark.ui.enabled", "false")
+      case None => b0 // cluster: let spark-submit set master/partitions/UI
+    }
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.registerAll(spark)
     spark
