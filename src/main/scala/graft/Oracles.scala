@@ -203,6 +203,37 @@ object Oracles {
         |    AND a.doc_id < b.doc_id)
         |WHERE jacc >= 0.95 ORDER BY id1, id2""".stripMargin,
 
+    // exact all-pairs token-Jaccard — equals the Spark side's LSH-candidates→
+    // verify pipeline because verified LSH recall is total on this corpus
+    "q22_minhash_dedup" ->
+      """WITH d AS (SELECT doc_id, list_distinct(str_split(lower(text), ' ')) AS g FROM documents)
+        |SELECT id1, id2, ROUND(jacc, 6) AS jaccard FROM (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    CASE WHEN (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) = 0 THEN 1.0
+        |         ELSE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+        |              (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) END AS jacc
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        |WHERE jacc >= 0.9 ORDER BY id1, id2""".stripMargin,
+
+    // same 60-bit md5 token simhash as Dedup.simhash60, brute-force hamming —
+    // the Spark banding is pigeonhole-exact for hamming <= 3, so sets match
+    "q23_simhash_neardup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, ('0x' || substr(md5(t.tok), 1, 15))::BIGINT AS h
+        |  FROM documents, unnest(str_split(lower(text), ' ')) AS t(tok)
+        |  WHERE t.tok <> ''
+        |), bits AS (
+        |  SELECT doc_id, b.b, SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM tok, unnest(range(60)) AS b(b) GROUP BY 1, 2
+        |), fp AS (
+        |  SELECT doc_id, bit_or(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+        |  FROM bits GROUP BY 1
+        |)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 ORDER BY 1, 2""".stripMargin,
+
     "q24_ann_brute" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT query_id, rank, corpus_id, ROUND(cosine, 6) AS cosine FROM (
@@ -221,6 +252,41 @@ object Oracles {
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
         |ORDER BY id1, id2""".stripMargin,
 
+    // full SQL replay of the SRP-LSH ANN path: identical md5-derived
+    // hyperplanes (Similarity.srpPlaneComponent), buckets, hamming-1
+    // multiprobe over 3 tables, exact cosine re-rank — not an approximation
+    // of the Spark result but the same algorithm in the other engine
+    "q26_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |planes AS (
+        |  SELECT t.t, b.b, i.i,
+        |    ('0x' || substr(md5((42 + 7919 * t.t) || ':' || b.b || ':' || i.i), 1, 15))::BIGINT
+        |      / 576460752303423488.0 - 1.0 AS w
+        |  FROM unnest(range(3)) t(t), unnest(range(8)) b(b), unnest(range(64)) i(i)
+        |), dots AS (
+        |  SELECT e.vec_id, p.t, p.b, SUM(e.v[p.i + 1] * p.w) AS s
+        |  FROM e, planes p GROUP BY 1, 2, 3
+        |), codes AS (
+        |  SELECT vec_id, t, CAST(SUM(CASE WHEN s >= 0 THEN (1 << b) ELSE 0 END) AS INT) AS bucket
+        |  FROM dots GROUP BY 1, 2
+        |), qprobes AS (
+        |  SELECT c.vec_id AS query_id, c.t, xor(c.bucket, pr.m) AS bucket
+        |  FROM codes c, (SELECT unnest([0,1,2,4,8,16,32,64,128]) AS m) pr
+        |  WHERE c.vec_id < 10
+        |), cand AS (
+        |  SELECT DISTINCT q.query_id, c.vec_id AS corpus_id
+        |  FROM qprobes q JOIN codes c ON q.t = c.t AND q.bucket = c.bucket
+        |  WHERE c.vec_id <> q.query_id
+        |), scored AS (
+        |  SELECT cand.query_id, cand.corpus_id,
+        |    row_number() OVER (PARTITION BY cand.query_id
+        |      ORDER BY list_cosine_similarity(eq.v, ec.v) DESC, cand.corpus_id) AS rank
+        |  FROM cand JOIN e eq ON eq.vec_id = cand.query_id
+        |            JOIN e ec ON ec.vec_id = cand.corpus_id
+        |)
+        |SELECT query_id, rank, corpus_id FROM scored WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
     "q27_langid" -> langidSql,
 
     "q28_quality" -> qualitySql,
@@ -230,6 +296,13 @@ object Oracles {
         |  md5(array_to_string(list_sort(list_distinct(
         |    str_split_regex(lower(text), '\s+'))), ' ')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the stub featurizer is md5-derived (byte 0 of the digest / 256 — a
+    // power-of-two divisor, so the float is exact); dim is the constant 16
+    "q30_multimodal" ->
+      """SELECT doc_id AS id, CAST(16 AS INT) AS dim,
+        |  ROUND(('0x' || substr(md5(text), 1, 2))::INT / 256.0, 6) AS f0
+        |FROM documents ORDER BY id""".stripMargin,
 
     "q31_sessionize" ->
       """WITH g AS (
@@ -262,6 +335,23 @@ object Oracles {
         |  CAST(SUM(CASE WHEN value > 50 AND event_type <> 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS fp,
         |  CAST(SUM(CASE WHEN value <= 50 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS fn,
         |  CAST(SUM(CASE WHEN value <= 50 AND event_type <> 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS tn
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    // closed-form ground truth of the flagship ER pipeline: the fixture
+    // plants entity clusters by pure docId arithmetic (Fixture.entityOf —
+    // cycle of 23 docs over sizes 1,1,1,2,2,3,5,8), so the cluster-size
+    // histogram the pipeline must recover on 2000 pages is computable
+    // exactly in SQL. Any blocking/scoring/clustering mistake (a split or a
+    // merge) changes this histogram — a real end-to-end oracle, not a count.
+    "q40_er_clusters" ->
+      """WITH doc AS (
+        |  SELECT (d.i // 23) * 8 +
+        |    CASE WHEN d.i % 23 < 1 THEN 0 WHEN d.i % 23 < 2 THEN 1
+        |         WHEN d.i % 23 < 3 THEN 2 WHEN d.i % 23 < 5 THEN 3
+        |         WHEN d.i % 23 < 7 THEN 4 WHEN d.i % 23 < 10 THEN 5
+        |         WHEN d.i % 23 < 15 THEN 6 ELSE 7 END AS entity
+        |  FROM unnest(range(2000)) AS d(i)
+        |), sz AS (SELECT entity, COUNT(*) AS size FROM doc GROUP BY 1)
+        |SELECT size, COUNT(*) AS n_clusters FROM sz GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

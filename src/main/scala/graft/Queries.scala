@@ -117,19 +117,23 @@ object Queries {
       .orderBy("n_pairs")
   }
 
-  /** P7/P8: null indicator + mean imputation (two-pass via window avg).
-    * Filter precedes the window so SQL WHERE-before-window matches. */
+  /** P7/P8: null indicator + mean imputation — two-pass agg-then-project
+    * (the reference's check_na shape, set_transfer/check_na.py:4-10): a
+    * scalar aggregate broadcast-cross-joined back, NOT an unpartitioned
+    * window (`avg over ()` funnels every row through ONE task; the scalar
+    * agg is a partial/final tree the whole cluster computes). */
   def q10_null_fill(s: SparkSession, dir: String): DataFrame = {
     val v = when(col("l_discount") === 0.0, lit(null).cast("double"))
       .otherwise(col("l_discount"))
-    t(s, dir, "lineitem")
+    val base = t(s, dir, "lineitem")
       .where(col("l_orderkey") < 200)
       .select(col("l_orderkey"), col("l_linenumber"), v.as("v"))
+    val mean = base.agg(avg(col("v")).as("v_mean"))
+    base.crossJoin(broadcast(mean))
       .withColumn("v_isna", when(col("v").isNull, 1.0).otherwise(0.0))
-      .withColumn("v_filled", round(coalesce(col("v"),
-        avg(col("v")).over(Window.partitionBy())), 6))
+      .withColumn("v_filled", round(coalesce(col("v"), col("v_mean")), 6))
       .orderBy("l_orderkey", "l_linenumber")
-      .drop("v")
+      .drop("v", "v_mean")
   }
 
   /** F1/F8: string scalar functions (case chain, concat, regexp, length). */
@@ -234,19 +238,26 @@ object Queries {
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id1", "id2")
 
-  /** Dedup/MinHash-LSH candidates (xxhash64 bands — no SQL oracle; the
-    * ScalaTest suite asserts candidate coverage instead). */
+  /** Dedup/MinHash-LSH near-dups: salted band-bucket candidates verified by
+    * exact token-Jaccard ≥ 0.9 — the emitted pair set equals the exact
+    * all-pairs answer (the b=32/r=4 operating point makes a missed J ≥ 0.9
+    * pair vanishingly improbable, and the DuckDB oracle proves equality on
+    * this corpus), while the Spark plan never goes quadratic. */
   def q22_minhash_dedup(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text")
+    Dedup.minhashNearDup(t(s, dir, "documents"), "doc_id", "text", tau = 0.9)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id1", "id2")
 
-  /** Dedup/SimHash near-dups (custom expression — rows-only check). */
-  def q23_simhash_neardup(s: SparkSession, dir: String): DataFrame = {
-    val withSim = t(s, dir, "documents").select(col("doc_id"),
-      GraftFunctions.simhash64(lower(col("text")), 0L).as("simhash"))
-    withSim.groupBy().agg(count(lit(1)).as("n"),
-      countDistinct(col("simhash")).as("n_distinct_simhash"))
-  }
+  /** Dedup/SimHash near-dups: 60-bit cross-engine-reproducible token simhash,
+    * banded into four 15-bit chunks (provably exact for hamming ≤ 3 by
+    * pigeonhole — the oracle computes the same fingerprints and brute-forces
+    * hamming; both sides MUST emit identical pair sets). */
+  def q23_simhash_neardup(s: SparkSession, dir: String): DataFrame =
+    Dedup.hammingNearDup(
+        Dedup.simhash60(t(s, dir, "documents"), "doc_id", "text"),
+        bits = 60, chunks = 4, maxHamming = 3)
+      .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
+      .orderBy("id1", "id2")
 
   /** ANN/brute-force cosine top-k: 10 query vectors against the corpus. */
   def q24_ann_brute(s: SparkSession, dir: String): DataFrame = {

@@ -278,6 +278,60 @@ object Similarity {
   def minHashBandsArray(s: UTF8String, bands: Int, rows: Int, seed: Long): ArrayData =
     new GenericArrayData(minHashBands(s, bands, rows, seed))
 
+  /** MinHash-LSH band keys over whitespace-token shingles (one hash per
+    * token run of the UTF8 bytes; duplicate tokens hit identical hashes, so
+    * the signature is exactly the DISTINCT-token-set MinHash). Use when the
+    * downstream verifier computes token-set Jaccard — the collision
+    * probability is then driven by precisely the verified quantity
+    * (char-3-gram signatures underestimate it on multiplicity-skewed text).
+    * Zero tokens degrades to a seed constant: all token-less texts share the
+    * signature, matching their all-equal distinct-token sets. */
+  def minHashBandsTokens(s: UTF8String, bands: Int, rows: Int, seed: Long): Array[Long] = {
+    val k = bands * rows
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = s.numBytes()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var start = 0
+    var i = 0
+    var any = false
+    while (i <= n) {
+      val atEnd = i == n
+      if (atEnd || Platform.getByte(base, off + i) == ' '.toByte) {
+        if (i > start) {
+          any = true
+          val h0 = XXH64.hashUnsafeBytes(base, off + start, i - start, seed)
+          var j = 0
+          while (j < k) {
+            val h = XXH64.hashLong(h0, seed + GOLDEN * (j + 1))
+            if (h < mins(j)) mins(j) = h
+            j += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    if (!any) {
+      var j = 0
+      while (j < k) { mins(j) = XXH64.hashLong(seed, seed + GOLDEN * (j + 1)); j += 1 }
+    }
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = seed + b
+      var r = 0
+      while (r < rows) { acc = XXH64.hashLong(mins(b * rows + r), acc); r += 1 }
+      out(b) = acc
+      b += 1
+    }
+    out
+  }
+
+  def minHashBandsTokensArray(s: UTF8String, bands: Int, rows: Int, seed: Long): ArrayData =
+    new GenericArrayData(minHashBandsTokens(s, bands, rows, seed))
+
   // -------------------------------------------------------------- sim-hash
 
   /** 64-bit SimHash over whitespace tokens (document fingerprint for
@@ -315,22 +369,49 @@ object Similarity {
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  // -------------------------------------------- sign-random-projection LSH
+
+  /** Deterministic hyperplane component in [-1, 1): first 15 md5 hex chars
+    * of "seed:bit:i" as a 60-bit int, affinely mapped. md5-derived (not
+    * XXH64) so a SQL oracle can recompute identical buckets:
+    * DuckDB `('0x'||substr(md5(seed||':'||bit||':'||i),1,15))::BIGINT
+    * / 2^59 - 1.0`. */
+  def srpPlaneComponent(seed: Long, bit: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s"$seed:$bit:$i".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    // first 15 hex chars = high 60 bits of the first 8 bytes, dropping the
+    // low nibble of byte 7
+    var h = 0L
+    var k = 0
+    while (k < 8) { h = (h << 8) | (d(k) & 0xFFL); k += 1 }
+    (h >>> 4).toDouble / 5.76460752303423488e17 - 1.0
+  }
+
+  /** Hyperplane matrix cache: computed ONCE per (seed, nBits, dim) — the
+    * per-row cost of [[srpBucket]] is pure multiply-adds (was: O(dim·nBits)
+    * hash calls per row, ~7k hashes/row in the 3-table ANN path). */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Array[Double]]]()
+
+  def srpPlanes(seed: Long, nBits: Int, dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((seed, nBits, dim), { key =>
+      val (s, b, d) = key
+      Array.tabulate(b, d)((bit, i) => srpPlaneComponent(s, bit, i))
+    })
+
   /** Sign-random-projection LSH bucket (nBits ≤ 32) for embedding vectors:
-    * bit i = sign(v · h_i) with h_i a seeded deterministic hyperplane. Used to
+    * bit b = sign(v · h_b) with h_b a seeded deterministic hyperplane. Used to
     * bucket ANN / embedding near-dup search at scale. */
   def srpBucket(v: ArrayData, nBits: Int, seed: Long): Int = {
     val n = v.numElements()
+    val planes = srpPlanes(seed, nBits, n)
     var out = 0
     var bit = 0
     while (bit < nBits) {
+      val h = planes(bit)
       var s = 0.0
       var i = 0
-      while (i < n) {
-        // deterministic pseudo-random hyperplane component in [-1, 1)
-        val h = XXH64.hashLong(i.toLong, seed + GOLDEN * (bit + 1))
-        s += v.getFloat(i).toDouble * (h.toDouble / 9.223372036854776e18)
-        i += 1
-      }
+      while (i < n) { s += v.getFloat(i).toDouble * h(i); i += 1 }
       if (s >= 0) out |= (1 << bit)
       bit += 1
     }

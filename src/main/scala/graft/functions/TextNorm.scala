@@ -9,6 +9,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * Replaces a 7-pass regexp_replace chain in the normalize hot path (each
   * regex pass re-reads the full string; at 100 TB that is 7× the scan I/O).
   * Idempotent (property-tested in NormalizeSpec).
+  *
+  * Entity coverage matches the reference's `html.unescape`
+  * (conver_test.py:88) for every numeric character reference
+  * (`&#NNNN;` / `&#xHHHH;`, incl. astral code points via surrogate pairs)
+  * and the full HTML4 named-entity set (commons-text EntityArrays — ~250
+  * names, the table `html.unescape` extends with HTML5-only additions).
+  * Unknown entities pass through unchanged, exactly like html.unescape;
+  * a trailing `;` is required (the reference's corpus never uses the
+  * browser-quirk semicolon-less form).
+  *
+  * Possessive rule (reference parity, conver_test.py:85
+  * `x.replace("'s", " 's")`): apostrophe + LOWERCASE `s`, no word-boundary
+  * condition — applied to the unescaped character stream, so `&#39;s`
+  * splits too (the reference runs replace before unescape and misses that
+  * case; splitting is strictly more consistent and is pinned by golden).
   */
 object TextNorm {
 
@@ -21,13 +36,70 @@ object TextNorm {
 
   private def isPunct(c: Char): Boolean = c < 128 && punct(c)
   private def isWs(c: Char): Boolean = c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
-  private def isWord(c: Char): Boolean =
-    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_'
 
-  /** Known entity → replacement (the common subset; html.unescape analog). */
-  private val entities: Array[(String, Char)] = Array(
-    ("&amp;", '&'), ("&lt;", '<'), ("&gt;", '>'), ("&quot;", '"'),
-    ("&#39;", '\''), ("&apos;", '\''), ("&nbsp;", ' '))
+  /** name (without & and ;) → replacement string, from the commons-text
+    * HTML4 unescape tables (BASIC + ISO-8859-1 + HTML40_EXTENDED + apos). */
+  private val namedEntities: java.util.HashMap[String, String] = {
+    val m = new java.util.HashMap[String, String](1024)
+    def add(tbl: java.util.Map[CharSequence, CharSequence]): Unit = {
+      val it = tbl.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val k = e.getKey.toString // "&amp;"
+        if (k.length > 2 && k.charAt(0) == '&' && k.charAt(k.length - 1) == ';')
+          m.put(k.substring(1, k.length - 1), e.getValue.toString)
+      }
+    }
+    import org.apache.commons.text.translate.EntityArrays
+    add(EntityArrays.BASIC_UNESCAPE)
+    add(EntityArrays.ISO8859_1_UNESCAPE)
+    add(EntityArrays.HTML40_EXTENDED_UNESCAPE)
+    m.put("apos", "'")
+    m
+  }
+
+  /** Longest HTML4 entity name is 8 chars ("thetasym"); numeric forms are
+    * bounded by 10 (&#x10FFFF;). Scan cap for the closing ';'. */
+  private val MaxEntityLen = 12
+
+  /** Resolve the entity starting at s(i)=='&'. Returns the replacement
+    * string and (via the 1-elem out param) the source chars consumed, or
+    * null if this is not a well-formed known entity. */
+  private def resolveEntity(s: String, i: Int, n: Int, consumedOut: Array[Int]): String = {
+    var semi = -1
+    var j = i + 1
+    val cap = math.min(n, i + MaxEntityLen + 2)
+    while (j < cap && semi < 0) {
+      val c = s.charAt(j)
+      if (c == ';') semi = j
+      else if (c == '&' || isWs(c)) return null // malformed: abort early
+      j += 1
+    }
+    if (semi <= i + 1) return null
+    val body = s.substring(i + 1, semi)
+    consumedOut(0) = semi - i + 1
+    if (body.charAt(0) == '#') {
+      // numeric reference: &#NNNN; or &#xHHHH; / &#XHHHH;
+      if (body.length < 2) return null
+      val hex = body.charAt(1) == 'x' || body.charAt(1) == 'X'
+      val digits = if (hex) body.substring(2) else body.substring(1)
+      if (digits.isEmpty) return null
+      var cp = 0
+      var k = 0
+      while (k < digits.length) {
+        val d = Character.digit(digits.charAt(k), if (hex) 16 else 10)
+        if (d < 0) return null
+        cp = cp * (if (hex) 16 else 10) + d
+        if (cp > 0x10FFFF) return null
+        k += 1
+      }
+      if (!Character.isValidCodePoint(cp) || Character.isSurrogate(cp.toChar) && cp <= 0xFFFF)
+        return null
+      new String(Character.toChars(cp))
+    } else {
+      namedEntities.get(body) // null when unknown → caller falls through
+    }
+  }
 
   def normalize(s: String): String = {
     val n = s.length
@@ -44,32 +116,49 @@ object TextNorm {
       emit(c)
       pendingSpace = true
     }
-
-    var i = 0
-    while (i < n) {
-      var c = s.charAt(i)
-      var consumed = 1
-      if (c == '&') {
-        var e = 0
-        var matched = false
-        while (e < entities.length && !matched) {
-          val (ent, repl) = entities(e)
-          if (i + ent.length <= n && s.regionMatches(i, ent, 0, ent.length)) {
-            c = repl; consumed = ent.length; matched = true
-          }
-          e += 1
-        }
-      }
-      if (isWs(c)) pendingSpace = pendingSpace || sb.length() > 0
-      else if (c == '\'' && i + consumed < n && (s.charAt(i + consumed) | 0x20) == 's' &&
-               (i + consumed + 1 >= n || !isWord(s.charAt(i + consumed + 1)))) {
-        // possessive: 's becomes a standalone token (conver_test.py:79-80)
+    // route one unescaped char through the state machine; `nextChar` is the
+    // following char of the UNESCAPED stream (possessive lookahead), -1 = none
+    def handle(c: Char, nextChar: Int): Boolean = { // returns true iff possessive fired
+      if (isWs(c)) { pendingSpace = pendingSpace || sb.length() > 0; false }
+      else if (c == '\'' && nextChar == 's') {
+        // possessive: 's becomes " 's" (reference conver_test.py:85 —
+        // lowercase s only, no boundary, no space appended after)
         pendingSpace = sb.length() > 0
         emit('\''); emit('s')
-        pendingSpace = true
-        consumed += 1
-      } else if (isPunct(c)) emitPadded(c)
-      else emit(c)
+        true
+      } else if (isPunct(c)) { emitPadded(c); false }
+      else { emit(c); false }
+    }
+
+    val consumedOut = new Array[Int](1)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      var consumed = 1
+      var repl: String = null
+      if (c == '&') {
+        repl = resolveEntity(s, i, n, consumedOut)
+        if (repl != null) consumed = consumedOut(0)
+      }
+      if (repl == null) {
+        val nxt = if (i + 1 < n) s.charAt(i + 1).toInt else -1
+        if (handle(c, nxt)) consumed = 2 // consumed the source 's
+      } else {
+        var k = 0
+        val m = repl.length
+        while (k < m) {
+          val rc = repl.charAt(k)
+          val nxt =
+            if (k + 1 < m) repl.charAt(k + 1).toInt
+            else if (i + consumed < n) s.charAt(i + consumed).toInt
+            else -1
+          if (handle(rc, nxt)) {
+            if (k + 1 < m) k += 1 // possessive s came from the repl itself
+            else consumed += 1 // ... or from the source stream
+          }
+          k += 1
+        }
+      }
       i += consumed
     }
     sb.toString

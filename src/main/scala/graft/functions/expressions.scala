@@ -53,17 +53,24 @@ case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpr
 }
 
 /** minhash_bands(string) -> array<long>: one band key per LSH band, computed
-  * in a single pass over the UTF8 bytes (char 3-gram shingles). */
-case class MinHashBandsExpr(child: Expression, bands: Int, rows: Int, seed: Long)
+  * in a single pass over the UTF8 bytes. Shingles: char 3-grams
+  * (tokenShingles = false — ER blocking on noisy text) or whitespace tokens
+  * (true — signatures estimate the distinct-token-set Jaccard that dedup
+  * verification computes). */
+case class MinHashBandsExpr(child: Expression, bands: Int, rows: Int, seed: Long,
+                            tokenShingles: Boolean = false)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
-  override protected def nullSafeEval(v: Any): Any =
-    Similarity.minHashBandsArray(
-      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], bands, rows, seed)
+  private def fn: String = if (tokenShingles) "minHashBandsTokensArray" else "minHashBandsArray"
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    if (tokenShingles) Similarity.minHashBandsTokensArray(s, bands, rows, seed)
+    else Similarity.minHashBandsArray(s, bands, rows, seed)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.Similarity.minHashBandsArray($c, $bands, $rows, ${seed}L)")
+      c => s"graft.functions.Similarity.$fn($c, $bands, $rows, ${seed}L)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -132,6 +139,8 @@ object GraftFunctions {
   def cosine_sim(l: Column, r: Column): Column = col(CosineSimExpr(ex(l), ex(r)))
   def minhash_bands(c: Column, bands: Int, rows: Int, seed: Long): Column =
     col(MinHashBandsExpr(ex(c), bands, rows, seed))
+  def minhash_token_bands(c: Column, bands: Int, rows: Int, seed: Long): Column =
+    col(MinHashBandsExpr(ex(c), bands, rows, seed, tokenShingles = true))
   def simhash64(c: Column, seed: Long = 0L): Column = col(SimHash64Expr(ex(c), seed))
   def srp_bucket(c: Column, nBits: Int, seed: Long): Column = col(SrpBucketExpr(ex(c), nBits, seed))
 

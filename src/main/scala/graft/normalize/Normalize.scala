@@ -16,9 +16,14 @@ import org.apache.spark.sql.functions._
   */
 object Normalize {
 
-  /** Common HTML entities, unescaped via a regexp chain (the reference calls
-    * html.unescape — conver_test.py:88; the common-entity subset suffices for
-    * deterministic corpora and stays codegen-friendly). */
+  /** Common HTML entities, unescaped via a regexp chain. NOTE: this Column
+    * form covers only the frequent-entity subset (a regexp_replace chain
+    * cannot decode arbitrary numeric references); the production kernel
+    * ([[normText]] → TextNorm) matches the reference's full `html.unescape`
+    * semantics — every `&#NNNN;`/`&#xHH;` numeric reference plus the HTML4
+    * named set — and is golden-tested against it in NormalizeSpec. This chain
+    * stays as documentation + the equivalence cross-check on entity-free
+    * corpora. */
   def unescapeHtml(c: Column): Column = {
     val steps: Seq[(String, String)] = Seq(
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
@@ -43,7 +48,9 @@ object Normalize {
     * and as the cross-check in NormalizeSpec). */
   def normTextRegex(c: Column): Column = {
     val unescaped = unescapeHtml(c)
-    val possessive = regexp_replace(unescaped, "'s\\b", " 's")
+    // reference parity (conver_test.py:85 replace("'s", " 's")): lowercase
+    // s only, no word-boundary — identical rule in the fused kernel
+    val possessive = regexp_replace(unescaped, "'s", " 's")
     val padded = regexp_replace(possessive, punctClass, " $1 ")
     val lowered = lower(padded)
     trim(regexp_replace(lowered, "\\s+", " "))

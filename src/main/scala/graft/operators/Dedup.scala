@@ -1,21 +1,28 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.blocking.Blocking
 import graft.functions.GraftFunctions
 
 /** Deduplication operators for large-scale training-data pipelines.
   * All are DataFrame-native (shuffle on content keys, no driver loops):
   *
   *  - exact:       hash-groupBy on text (one shuffle)
-  *  - MinHash-LSH: shingle→minhash→band→bucket-join (the ER blocking path,
-  *                 generalized to any id/text pair)
-  *  - SimHash:     64-bit fingerprint, banded into 16-bit chunks for
-  *                 hamming-distance blocking
+  *  - MinHash-LSH: shingle→minhash→band→salted bucket-join→exact verify
+  *  - SimHash:     fingerprint banded into hamming-safe chunks (pigeonhole-
+  *                 exact for maxHamming ≤ chunks-1), salted bucket join
   *  - n-gram Jaccard: token-set overlap verification within blocks
   *  - embedding cosine: SRP-LSH bucketed near-duplicate vectors
+  *
+  * Every pair-generating operator routes through
+  * [[Blocking.saltedSelfJoinPairs]]: a hot band/chunk/block key is triangle-
+  * salted into ceil(n/cap) buckets, so no single join task ever co-joins more
+  * than ~2·cap rows — the quadratic-hot-bucket failure mode at 10^9 docs is
+  * bounded by construction, with zero recall loss. Oversized blocks can
+  * additionally be dropped (maxBlock > 0, counted via [[Blocking.blockStats]],
+  * never silent); the exact-result operators default to maxBlock = 0.
   */
 object Dedup {
 
@@ -31,17 +38,37 @@ object Dedup {
       count(lit(1)).as("n_groups"),
       sum(col("group_size") - 1).as("n_dup_rows"))
 
-  /** MinHash-LSH candidate pairs over character 3-gram shingles: rows
-    * sharing any LSH band key become a candidate (id1 < id2, deduped). */
+  /** MinHash-LSH candidate pairs over whitespace-TOKEN shingles: rows
+    * sharing any LSH band key become a candidate (id1 < id2, deduped).
+    * Token shingles (not char 3-grams) because the verifier
+    * ([[minhashNearDup]]) computes distinct-token-set Jaccard — the LSH
+    * collision probability is then a function of exactly the verified J.
+    * Defaults (b=32, r=4) are the high-recall operating point:
+    * P(miss | J = 0.9) = (1 − 0.9⁴)³² ≈ 1.4e−15; false candidates cost one
+    * cheap Jaccard check each. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        bands: Int = 16, rows: Int = 6, seed: Long = 42L): DataFrame = {
-    val blocks = df.select(col(idCol).as("id"),
-      explode(GraftFunctions.minhash_bands(lower(col(textCol)), bands, rows, seed))
-        .as("band_key"))
-    val l = blocks.as("l"); val r = blocks.as("r")
-    l.join(r, col("l.band_key") === col("r.band_key") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id1"), col("r.id").as("id2"))
+                        bands: Int = 32, rows: Int = 4, seed: Long = 42L,
+                        cap: Int = 256, maxBlock: Int = 0): DataFrame = {
+    val entries = df.select(col(idCol).as("id"),
+      explode(GraftFunctions.minhash_token_bands(lower(col(textCol)), bands, rows, seed))
+        .as("block_key"))
+    Blocking.saltedSelfJoinPairs(entries, cap, maxBlock)
       .dropDuplicates("id1", "id2")
+  }
+
+  /** MinHash near-duplicates = LSH candidates verified by exact token-set
+    * Jaccard ≥ tau (candidates carry only 8-byte ids through the banded
+    * join; the token arrays join in once, per side, for survivors). */
+  def minhashNearDup(df: DataFrame, idCol: String, textCol: String, tau: Double,
+                     bands: Int = 32, rows: Int = 4, seed: Long = 42L,
+                     cap: Int = 256, maxBlock: Int = 0): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, bands, rows, seed, cap, maxBlock)
+    val grams = df.select(col(idCol).as("id"), tokenNgrams(col(textCol), 1).as("g"))
+    cands
+      .join(grams.select(col("id").as("id1"), col("g").as("g1")), "id1")
+      .join(grams.select(col("id").as("id2"), col("g").as("g2")), "id2")
+      .select(col("id1"), col("id2"), jaccard(col("g1"), col("g2")).as("jaccard"))
+      .where(col("jaccard") >= tau)
   }
 
   /** Token n-gram Jaccard similarity column between two token-array columns
@@ -56,49 +83,88 @@ object Dedup {
     val toks = split(lower(textCol), " ")
     if (n == 1) array_distinct(toks)
     else {
-      // sliding token windows joined by ''
+      // sliding token windows joined by ''
       val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
       array_distinct(transform(idx, i =>
-        concat_ws("", slice(toks, i + 1, lit(n)))))
+        concat_ws("", slice(toks, i + 1, lit(n)))))
     }
   }
 
   /** Near-duplicate pairs by token n-gram Jaccard ≥ tau, blocked by
-    * `blockCols` (never all-pairs: the self-join is block-local). */
+    * `blockCols` (never all-pairs: the self-join is block-local AND salted —
+    * an `(en, web)`-sized hot block is triangle-split across tasks). The
+    * size-ratio prefilter (J ≥ τ ⇒ |A|/|B| ∈ [τ, 1/τ]) prunes pairs before
+    * the array intersect without changing the result. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        blockCols: Seq[String], n: Int, tau: Double): DataFrame = {
-    val withSets = df.select((col(idCol).as("id") +:
-      tokenNgrams(col(textCol), n).as("grams") +:
-      blockCols.map(col)): _*)
-    val joinCond = blockCols.map(c => col(s"l.$c") === col(s"r.$c"))
-      .reduceOption(_ && _).getOrElse(lit(true)) && col("l.id") < col("r.id")
-    withSets.as("l").join(withSets.as("r"), joinCond)
-      .select(col("l.id").as("id1"), col("r.id").as("id2"),
-        jaccard(col("l.grams"), col("r.grams")).as("jaccard"))
+                        blockCols: Seq[String], n: Int, tau: Double,
+                        cap: Int = 256, maxBlock: Int = 0): DataFrame = {
+    val entries = df.select(
+      xxhash64(blockCols.map(col): _*).as("block_key"),
+      col(idCol).as("id"),
+      tokenNgrams(col(textCol), n).as("grams"))
+    val sz1 = size(col("grams_1")).cast("double")
+    val sz2 = size(col("grams_2")).cast("double")
+    Blocking.saltedSelfJoinPairs(entries, cap, maxBlock, payload = Seq("grams"))
+      .where(least(sz1, sz2) >= greatest(sz1, sz2) * tau) // exact-safe prune
+      .select(col("id1"), col("id2"),
+        jaccard(col("grams_1"), col("grams_2")).as("jaccard"))
       .where(col("jaccard") >= tau)
   }
 
-  /** SimHash near-duplicate candidates: 64-bit simhash banded into four
-    * 16-bit chunks — any pair within hamming distance ≤ 3 of each other
-    * shares at least one chunk (pigeonhole), then exact hamming filter. */
-  def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
-                     maxHamming: Int = 3, seed: Long = 0L): DataFrame = {
-    require(maxHamming <= 3, "4-chunk banding guarantees recall only for hamming <= 3")
-    val withSim = df.select(col(idCol).as("id"),
-      GraftFunctions.simhash64(lower(col(textCol)), seed).as("simhash"))
-    val banded = withSim.select(col("id"), col("simhash"),
-      explode(array((0 until 4).map(i =>
-        struct(lit(i).as("chunk"),
-          shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*))
-        .as("band"))
-    val l = banded.as("l"); val r = banded.as("r")
-    l.join(r, col("l.band") === col("r.band") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id1"), col("r.id").as("id2"),
-        col("l.simhash").as("s1"), col("r.simhash").as("s2"))
+  /** Banded hamming near-dup join over any integral fingerprint column
+    * (`id`, `fp`): the `bits`-bit fingerprint splits into `chunks` equal
+    * bands; by pigeonhole any pair within hamming ≤ chunks−1 shares at least
+    * one band, so banding + exact hamming filter is EXACT (not approximate)
+    * for maxHamming ≤ chunks−1. Band buckets are salted like every other
+    * pair join. */
+  def hammingNearDup(fps: DataFrame, bits: Int, chunks: Int, maxHamming: Int,
+                     cap: Int = 256, maxBlock: Int = 0): DataFrame = {
+    require(maxHamming <= chunks - 1,
+      s"$chunks-chunk banding guarantees recall only for hamming <= ${chunks - 1}")
+    val width = bits / chunks
+    val mask = (1L << width) - 1
+    val entries = fps.select(col("id"), col("fp"),
+      explode(array((0 until chunks).map(i =>
+        struct(lit(i).as("c"),
+          shiftright(col("fp"), i * width).bitwiseAND(lit(mask)).as("v"))): _*))
+        .as("block_key"))
+      .select("block_key", "id", "fp")
+    Blocking.saltedSelfJoinPairs(entries, cap, maxBlock, payload = Seq("fp"))
       .dropDuplicates("id1", "id2")
-      .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))))
+      .withColumn("hamming", bit_count(col("fp_1").bitwiseXOR(col("fp_2"))))
       .where(col("hamming") <= maxHamming)
       .select("id1", "id2", "hamming")
+  }
+
+  /** SimHash near-duplicate pairs: 64-bit XXH64 simhash (one codegen pass,
+    * SimHash64Expr) banded into four 16-bit chunks — exact for hamming ≤ 3. */
+  def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 3, seed: Long = 0L,
+                     cap: Int = 256, maxBlock: Int = 0): DataFrame =
+    hammingNearDup(
+      df.select(col(idCol).as("id"),
+        GraftFunctions.simhash64(lower(col(textCol)), seed).as("fp")),
+      bits = 64, chunks = 4, maxHamming = maxHamming, cap = cap, maxBlock = maxBlock)
+
+  /** Cross-engine-reproducible 60-bit token SimHash (md5-derived token
+    * hashes, so a SQL oracle can recompute it bit-for-bit): per token,
+    * h = first 15 md5 hex chars as a 60-bit int; fingerprint bit b is the
+    * majority vote of token bits b. Same Charikar scheme as
+    * [[graft.functions.Similarity.simHash64]], hash function swapped for
+    * verifiability; the banded join downstream is the identical scale path. */
+  def simhash60(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+        explode(split(lower(col(textCol)), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .select(col("id"), conv(substring(md5(col("tok")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+    val bitSums = (0 until 60).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$b"))
+    tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), (0 until 60).map(b =>
+        when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+        .reduce(_ + _).as("fp"))
   }
 
   /** Embedding near-duplicate pairs: SRP-LSH bucket join (scale path — a

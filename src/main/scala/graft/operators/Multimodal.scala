@@ -30,17 +30,19 @@ object Multimodal {
   /** ==== STUB ==== deterministic fake of the decode→resize→CNN-embed step.
     * Real deployments swap this body for an actual codec + model runtime;
     * everything around it (schema, batching, partitioning) is production
-    * shape. Features are a content hash folded into `dim` floats, so tests
-    * can assert determinism and join behavior. */
+    * shape. Features are the md5 digest of the content mapped to `dim`
+    * floats in [0,1) (byte k / 256 — a power-of-two divisor, so the float
+    * is exact and a SQL oracle recomputes it bit-for-bit:
+    * `('0x'||substr(md5(x),1,2))::INT / 256.0` is feature 0). Digests chain
+    * (md5 of md5) for dim > 16. */
   def stubDecodeEmbed(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var digest = md.digest(bytes)
     val out = new Array[Float](dim)
-    var h = 1125899906842597L
-    var i = 0
-    while (i < bytes.length) { h = h * 31 + bytes(i); i += 1 }
     var j = 0
     while (j < dim) {
-      h ^= (h << 13); h ^= (h >>> 7); h ^= (h << 17)
-      out(j) = (h.toDouble / 9.223372036854776e18).toFloat
+      if (j > 0 && j % 16 == 0) digest = md.digest(digest)
+      out(j) = (digest(j % 16) & 0xFF) / 256.0f
       j += 1
     }
     out

@@ -24,6 +24,29 @@ class NormalizeSpec extends SparkSpec {
 
   test("golden: possessive 's split like the reference") {
     assert(norm("John's book") == "john 's book")
+    // reference rule (conver_test.py:85): lowercase s only, no boundary
+    assert(norm("JOHN'S BOOK") == "john's book") // uppercase S: no split
+    assert(norm("its'stuff") == "its 'stuff") // mid-word: splits, no space after s
+    assert(norm("dogs' toys") == "dogs' toys") // trailing apostrophe: untouched
+  }
+
+  test("golden: full numeric + named entity unescape (html.unescape parity)") {
+    // Cyrillic decimal references (ubiquitous in the reference's Avito corpus)
+    assert(norm("&#1090;&#1077;&#1089;&#1090;") == "тест")
+    assert(norm("&#x27;s") == "'s") // hex apostrophe + possessive interaction
+    assert(norm("A&#x2014;B") == "a—b") // em-dash via hex (non-ASCII: not padded)
+    assert(norm("caf&eacute;") == "café") // HTML4 named beyond the basic set
+    assert(norm("B&auml;r &szlig;") == "bär ß")
+    assert(norm("1&frac12;") == "1½")
+    assert(norm("x&mdash;y") == "x—y")
+    // astral plane (surrogate pair)
+    assert(norm("&#128512;") == "😀")
+    // unknown / malformed pass through with & padded as punctuation
+    assert(norm("&notanentity;") == "& notanentity ;")
+    assert(norm("a&b") == "a & b")
+    assert(norm("&#xZZ;") == "& # xzz ;")
+    // double-escaped: ONE unescape pass, like html.unescape
+    assert(norm("&amp;amp;") == "& amp ;")
   }
 
   test("idempotence: normalizing twice equals once") {
@@ -54,6 +77,18 @@ class NormalizeSpec extends SparkSpec {
   test("single-pass norm expression ≡ the regex-chain form on fixture corpus") {
     val pages = graft.fixtures.Fixture.pages(spark, 2000)
     val diff = pages.select(
+        Normalize.normText($"text").as("fast"),
+        Normalize.normTextRegex($"text").as("ref"))
+      .where($"fast" =!= $"ref")
+    assert(diff.count() == 0)
+  }
+
+  test("single-pass norm ≡ regex chain on case/boundary/entity-subset edge cases") {
+    val samples = Seq(
+      "John's book", "JOHN'S BOOK", "its'stuff", "dogs' toys", "O'Sullivan's",
+      "it&#39;s", "a &amp; b", "x &lt;tag&gt;", "A'sB", "'s leading",
+      "trailing's", "s's's", "Mixed CASE with 'S and 's tokens")
+    val diff = samples.toDF("text").select(
         Normalize.normText($"text").as("fast"),
         Normalize.normTextRegex($"text").as("ref"))
       .where($"fast" =!= $"ref")
