@@ -22,8 +22,17 @@ object CalibrateMain {
     val labeled = Fixture.labeledPairs(spark, pt).cache()
 
     val attrs = Scoring.attrs(spark, pages).cache()
-    val scored = Scoring.score(spark, labeled.select("url1", "url2"), attrs)
-      .join(labeled, Seq("url1", "url2"))
+    // the scorer joins on 64-bit ids (numeric-key pipeline); map urls → ids
+    // the same way the pipeline does (xxhash64(url)), join labels back by id
+    val candidates = labeled.toDF()
+      .withColumn("id1", xxhash64(least(col("url1"), col("url2"))))
+      .withColumn("id2", xxhash64(greatest(col("url1"), col("url2"))))
+    // threshold ~0 disarms the phase-1 admission gate (it is derived from
+    // the threshold) so calibration sees UNGATED feature distributions;
+    // the z-coefficients stay the committed defaults
+    val scored = Scoring.score(spark, candidates.select("id1", "id2"), attrs,
+        Scoring.Weights(threshold = 1e-12))
+      .join(candidates.select(col("id1"), col("id2"), col("label")), Seq("id1", "id2"))
 
     println("=== feature distributions by label ===")
     scored.groupBy("label").agg(
@@ -34,7 +43,10 @@ object CalibrateMain {
       round(max("levenshtein_sim"), 4).as("lev_max"),
       round(avg("cosine"), 4).as("cos_avg"), round(min("cosine"), 4).as("cos_min"),
       round(max("cosine"), 4).as("cos_max"),
+      round(avg("inv_l1"), 4).as("l1_avg"), round(min("inv_l1"), 4).as("l1_min"),
+      round(max("inv_l1"), 4).as("l1_max"),
       round(avg("num_sim"), 4).as("num_avg"), round(min("num_sim"), 4).as("num_min"),
+      round(avg("mmr"), 4).as("mmr_avg"), round(min("mmr"), 4).as("mmr_min"),
       round(avg("score"), 4).as("score_avg"), round(min("score"), 4).as("score_min"),
       round(max("score"), 4).as("score_max")
     ).orderBy("label").show(false)

@@ -32,10 +32,14 @@ case class ScoreAttrs(id: Long, url: String, title: String, prefix: String,
                       price: Double, vec: Array[Float])
 
 /** Scored candidate pair (FIXTURES.md §5 scored_pairs shape, plus the
-  * numeric pair ids that downstream clustering shuffles instead of urls). */
+  * numeric pair ids that downstream clustering shuffles instead of urls).
+  * Feature family per the reference: jw/lev string sims (north-star), cosine
+  * + inverse-L1 over composed embeddings (Deeper.py:296-305), scaled-inverse
+  * + min-max-ratio numeric sims on price (Deeper.py:327-343). */
 case class ScoredPair(id1: Long, id2: Long, url1: String, url2: String,
                       jaro_winkler: Double, levenshtein_sim: Double,
-                      cosine: Double, num_sim: Double, score: Double)
+                      cosine: Double, inv_l1: Double,
+                      num_sim: Double, mmr: Double, score: Double)
 
 case class Edge(src: String, dst: String)
 

@@ -11,17 +11,45 @@ import graft.core.{LabeledPair, PairMetrics}
   * is predicted positive iff both urls land in the same final cluster. */
 object Eval {
 
-  /** AUROC via the Mann-Whitney rank statistic over (score, label) rows —
-    * distributed sort + zipWithIndex, no global window (the reference reports
-    * sklearn AUROC on held-out pairs, train_deeper.py:357-361). */
+  /** AUROC via the Mann-Whitney rank statistic over (score, label) rows with
+    * MIDRANKS for ties (sklearn semantics — the reference reports sklearn
+    * AUROC on held-out pairs, train_deeper.py:357-361; saturated logistic
+    * scores tie often, and arbitrary tie ranks bias the statistic).
+    *
+    * Distributed: aggregate per distinct score (count, positives), range-sort,
+    * then a two-pass partition prefix-sum — per-partition totals to the driver
+    * (numPartitions rows), cumulative offsets back out. No global window, no
+    * row collect. */
   def auroc(scoredLabeled: DataFrame): Double = {
-    val ranked = scoredLabeled.select(col("score").cast("double"), col("label").cast("int"))
-      .orderBy("score").rdd.zipWithIndex()
-    val (posRankSum, nPos, nNeg) = ranked.map { case (row, idx) =>
-      if (row.getInt(1) == 1) (idx.toDouble + 1.0, 1L, 0L) else (0.0, 0L, 1L)
-    }.fold((0.0, 0L, 0L)) { case ((r1, p1, n1), (r2, p2, n2)) => (r1 + r2, p1 + p2, n1 + n2) }
-    if (nPos == 0 || nNeg == 0) return 1.0
-    (posRankSum - nPos.toDouble * (nPos + 1) / 2.0) / (nPos.toDouble * nNeg)
+    val agg = scoredLabeled.select(col("score").cast("double").as("s"), col("label").cast("int").as("l"))
+      .groupBy("s").agg(count(lit(1)).as("c"), sum(col("l")).as("p"))
+      .orderBy("s") // range-partitioned: partition i holds scores < partition i+1
+    val rdd = agg.select("c", "p").rdd
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // pass 1: per-partition (rows, positives) totals
+      val totals = rdd.mapPartitionsWithIndex { (i, it) =>
+        var c = 0L; var p = 0L
+        it.foreach { case (ci, pi) => c += ci; p += pi }
+        Iterator.single((i, c, p))
+      }.collect().sortBy(_._1)
+      val nPos = totals.map(_._3).sum
+      val nAll = totals.map(_._2).sum
+      val nNeg = nAll - nPos
+      if (nPos == 0 || nNeg == 0) return 1.0
+      val offsets = totals.map(_._2).scanLeft(0L)(_ + _) // rows before partition i
+      // pass 2: midrank(s) = rowsBefore(s) + (count(s) + 1) / 2
+      val posRankSum = rdd.mapPartitionsWithIndex { (i, it) =>
+        var cum = offsets(i)
+        it.map { case (c, p) =>
+          val mid = cum + (c + 1) / 2.0
+          cum += c
+          p * mid
+        }
+      }.sum()
+      (posRankSum - nPos.toDouble * (nPos + 1) / 2.0) / (nPos.toDouble * nNeg)
+    } finally rdd.unpersist(blocking = false)
   }
 
   def pairwise(assignments: DataFrame, labeled: Dataset[LabeledPair]): PairMetrics = {

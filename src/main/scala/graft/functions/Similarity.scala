@@ -204,6 +204,38 @@ object Similarity {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** exp(−Σ|aᵢ−bᵢ|) — Deeper.py:299-301 (codegen entry points). */
+  def invL1Float(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { s += math.abs(a.getFloat(i).toDouble - b.getFloat(i).toDouble); i += 1 }
+    math.exp(-s)
+  }
+
+  def invL1Double(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { s += math.abs(a.getDouble(i) - b.getDouble(i)); i += 1 }
+    math.exp(-s)
+  }
+
+  /** exp(−√Σ(aᵢ−bᵢ)²) — Deeper.py:302-305 (codegen entry points). */
+  def invL2Float(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble; s += d * d; i += 1
+    }
+    math.exp(-math.sqrt(s))
+  }
+
+  def invL2Double(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { val d = a.getDouble(i) - b.getDouble(i); s += d * d; i += 1 }
+    math.exp(-math.sqrt(s))
+  }
+
   def dot(a: Array[Float], b: Array[Float]): Double = {
     val n = math.min(a.length, b.length)
     var s = 0.0; var i = 0

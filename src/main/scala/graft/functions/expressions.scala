@@ -113,6 +113,36 @@ case class SimHash64Expr(child: Expression, seed: Long) extends UnaryExpression 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** inverse_lp(array, array) -> double: exp(−‖a−b‖_p) for p ∈ {1, 2}
+  * (Deeper.py:299-305) — single-pass allocation-free kernels (the zip_with/
+  * aggregate higher-order form materializes an intermediate array per row;
+  * this is the phase-1 cascade hot path). */
+case class InverseLpExpr(left: Expression, right: Expression, p: Int)
+    extends BinaryExpression {
+  require(p == 1 || p == 2, s"inverse_lp supports p=1|2, got $p")
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  private def isFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private def fn: String = s"invL$p" + (if (isFloat) "Float" else "Double")
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    (p, isFloat) match {
+      case (1, true) => Similarity.invL1Float(a, b)
+      case (1, false) => Similarity.invL1Double(a, b)
+      case (2, true) => Similarity.invL2Float(a, b)
+      case (_, false) => Similarity.invL2Double(a, b)
+    }
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Similarity.$fn($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** srp_bucket(array<float>) -> int: sign-random-projection LSH bucket for
   * embedding vectors (ANN / near-dup blocking at scale). */
 case class SrpBucketExpr(child: Expression, nBits: Int, seed: Long) extends UnaryExpression {
@@ -151,13 +181,11 @@ object GraftFunctions {
   def unscaled_inverse_lp(a: Column, b: Column): Column = exp(-abs(a - b))
   def min_max_ratio(a: Column, b: Column): Column = least(a, b) / (greatest(a, b) + lit(1e-5))
 
-  /** exp(-Σ|aᵢ-bᵢ|) over vectors — Deeper.py:299-301. */
-  def inverse_l1(a: Column, b: Column): Column =
-    exp(-aggregate(zip_with(a, b, (x, y) => abs(x - y)), lit(0.0), (acc, x) => acc + x))
+  /** exp(-Σ|aᵢ-bᵢ|) over vectors — Deeper.py:299-301 (codegen'd kernel). */
+  def inverse_l1(a: Column, b: Column): Column = col(InverseLpExpr(ex(a), ex(b), 1))
 
-  /** exp(-sqrt(Σ(aᵢ-bᵢ)²)) over vectors — Deeper.py:302-305. */
-  def inverse_l2(a: Column, b: Column): Column =
-    exp(-sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)))
+  /** exp(-sqrt(Σ(aᵢ-bᵢ)²)) over vectors — Deeper.py:302-305 (codegen'd kernel). */
+  def inverse_l2(a: Column, b: Column): Column = col(InverseLpExpr(ex(a), ex(b), 2))
 
   private val sqlFns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_jaro_winkler" -> (es => JaroWinklerExpr(es(0), es(1))),

@@ -25,12 +25,18 @@ import graft.normalize.Normalize
 object Scoring {
 
   /** Frozen calibration weights (the reference's trained dense head replaced
-    * by fixed coefficients fit offline on the labeled fixture — CalibrateMain). */
+    * by fixed coefficients fit offline on the labeled fixture — CalibrateMain).
+    * The full Deeper feature family the frozen scorer uses: two string sims
+    * (jw, lev), two embedding sims (cos, l1 — reference history shows
+    * baseline+inverse_l1 beats cosine-only, history_baselineinverse_l1.map),
+    * two numeric sims on price (num = scaled inverse, mmr = min/max ratio). */
   case class Weights(
-      jw: Double = 3.0,
-      lev: Double = 3.0,
-      cos: Double = 7.0,
-      num: Double = 1.5,
+      jw: Double = 2.5,
+      lev: Double = 2.5,
+      cos: Double = 6.0,
+      l1: Double = 1.5,
+      num: Double = 1.0,
+      mmr: Double = 1.0,
       bias: Double = -9.0,
       threshold: Double = 0.5)
 
@@ -46,15 +52,49 @@ object Scoring {
   case object Idf extends Composition
 
   /** Corpus document frequencies → IDF weight per token id (A2 aggregation,
-    * scripts/helpers.py:88-127; weight semantics Deeper.py:241-275). The
-    * result is vocabulary-sized — broadcastable at any corpus scale. */
+    * scripts/helpers.py:88-127; weight semantics Deeper.py:241-275:
+    * w = 1/df^(1/idf_smoothing) with idf_smoothing = 2, and the reference's
+    * inf-fix — df = 0 ⇒ weight 0 — falls out of the map: ids absent here get
+    * idf.getOrElse(id, 0.0) = 0 in [[attrs]] and are skipped, never inf).
+    *
+    * Tokens map to vocabulary ids (same record2idx fallback chain as
+    * [[attrs]]) BEFORE the aggregation, so the shuffle and the driver collect
+    * are bounded by |vocab| at ANY corpus scale — a web-scale corpus has
+    * unbounded distinct tokens, and aggregating those first would OOM the
+    * driver. */
   def idfWeights(spark: SparkSession, pages: DataFrame): Map[Int, Double] = {
-    val df = pages
+    import spark.implicits._
+    val bcVocab = spark.sparkContext.broadcast(Fixture.vocabIndex)
+    pages
       .select(explode(array_distinct(split(Normalize.normText(col("text")), " "))).as("t"))
-      .groupBy("t").count().collect()
-    df.flatMap { r =>
-      Fixture.vocabIndex.get(r.getString(0)).map(id => id -> 1.0 / math.sqrt(r.getLong(1)))
-    }.toMap
+      .as[String]
+      .mapPartitions { it =>
+        val v = bcVocab.value
+        it.flatMap { tok =>
+          val id = v.getOrElse(tok,
+            v.getOrElse(tok.capitalize, v.getOrElse(tok.toUpperCase, 0)))
+          if (id > 0) Iterator.single(id) else Iterator.empty
+        }
+      }
+      .toDF("id").groupBy("id").count() // ≤ |vocab| rows survive to the driver
+      .collect()
+      .map(r => r.getInt(0) -> 1.0 / math.sqrt(r.getLong(1)))
+      .toMap
+  }
+
+  /** F7 detokenize (debug utility): token-id arrays back to readable text via
+    * a broadcast idx→word join (scripts/helpers.py:48-64 idx_to_word; id 0 /
+    * unknown ids render as "", the reference's padding row). Output: (key,
+    * text) with tokens space-joined in original positions. */
+  def detokenize(spark: SparkSession, df: DataFrame,
+                 keyCol: String, idsCol: String): DataFrame = {
+    val vocab = Fixture.embeddingsTable(spark).select(col("id").as("tok_id"), col("token"))
+    df.select(col(keyCol).as("key"), posexplode(col(idsCol)).as(Seq("pos", "tok_id")))
+      .join(broadcast(vocab), Seq("tok_id"), "left")
+      .groupBy("key")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos").as("p"), coalesce(col("token"), lit("")).as("w")))),
+        s => s.getField("w")), " ").as("text"))
   }
 
   /** Per-page scoring attributes, computed once: title proxy, normalized
@@ -132,14 +172,19 @@ object Scoring {
     }
   }
 
-  /** Exact cosine admission bound for the cascade: every pair that could
-    * reach `threshold` even with perfect string/numeric sims (all ≤ 1)
-    * satisfies cos ≥ (logit(θ) − w_jw − w_lev − w_num − bias) / w_cos.
-    * Pairs below it are rejected by the cheap stage with ZERO recall loss
-    * by construction. */
-  def cosineGate(w: Weights): Double = {
+  /** Exact phase-1 admission bound for the cascade: phase 1 computes the
+    * embedding and numeric features (cos, l1, num, mmr) EXACTLY; the phase-2
+    * string features (jw, lev) are bounded by 1. So any pair that can reach
+    * `threshold` satisfies
+    *   w_cos·cos + w_l1·l1 + w_num·num + w_mmr·mmr
+    *     ≥ logit(θ) − w_jw − w_lev − bias.
+    * Rejecting below this bound loses ZERO recall by construction, and the
+    * bound is DERIVED from the weights — recalibration auto-adjusts it
+    * (never hardcode). Using the full phase-1 score (not cosine alone) is a
+    * strictly sharper gate than the round-1 cosine-only bound. */
+  def phase1Gate(w: Weights): Double = {
     val logit = math.log(w.threshold / (1.0 - w.threshold))
-    (logit - w.jw - w.lev - w.num - w.bias) / w.cos
+    logit - w.jw - w.lev - w.bias
   }
 
   /** Enrich candidate pairs with both sides' attributes (the reference's
@@ -150,7 +195,7 @@ object Scoring {
     *
     * Two-phase cascade (the 10^12-pair design): phase 1 joins only the
     * narrow attributes (embedding vector + price, ~160 B/row) against ALL
-    * candidates and applies the exact [[cosineGate]] bound; phase 2 joins the
+    * candidates and applies the exact [[phase1Gate]] bound; phase 2 joins the
     * wide string attributes (title/prefix/url) only for survivors (typically
     * a few % of candidates), where Jaro-Winkler + Levenshtein + the calibrated
     * score are computed. Cuts candidate-join shuffle bytes ~3-5× with
@@ -166,22 +211,28 @@ object Scoring {
     val a = attrs.toDF()
     val slim = a.select(col("id"), col("price"), col("vec"))
 
-    // phase 1: cheap features over every candidate
+    // phase 1: embedding + numeric features over every candidate (all
+    // single-pass codegen kernels over data already in the slim join)
     val stage1 = candidates.select("id1", "id2")
       .join(slim.as("a"), col("id1") === col("a.id"))
       .join(slim.as("b"), col("id2") === col("b.id"))
       .select(col("id1"), col("id2"),
         cosine_sim(col("a.vec"), col("b.vec")).as("cosine"),
-        scaled_inverse_lp(col("a.price"), col("b.price")).as("num_sim"))
+        inverse_l1(col("a.vec"), col("b.vec")).as("inv_l1"),
+        scaled_inverse_lp(col("a.price"), col("b.price")).as("num_sim"),
+        min_max_ratio(col("a.price"), col("b.price")).as("mmr"))
     // lineage: "pairs scored" = candidates evaluated by phase 1 (observe
     // metric — rides whichever action consumes this plan, zero extra jobs)
+    val phase1Score = lit(w.cos) * col("cosine") + lit(w.l1) * col("inv_l1") +
+      lit(w.num) * col("num_sim") + lit(w.mmr) * col("mmr")
     val survivors = stage1.observe("pairs_scored", count(lit(1)))
-      .where(col("cosine") >= lit(cosineGate(w)))
+      .where(phase1Score >= lit(phase1Gate(w)))
 
     // phase 2: string similarities + calibration, survivors only
     val wide = a.select(col("id"), col("url"), col("title"), col("prefix"))
     val z = lit(w.jw) * col("jaro_winkler") + lit(w.lev) * col("levenshtein_sim") +
-      lit(w.cos) * col("cosine") + lit(w.num) * col("num_sim") + lit(w.bias)
+      lit(w.cos) * col("cosine") + lit(w.l1) * col("inv_l1") +
+      lit(w.num) * col("num_sim") + lit(w.mmr) * col("mmr") + lit(w.bias)
     survivors
       .join(wide.as("a"), col("id1") === col("a.id"))
       .join(wide.as("b"), col("id2") === col("b.id"))
@@ -192,7 +243,7 @@ object Scoring {
         greatest(col("a.url"), col("b.url")).as("url2"),
         jaro_winkler(col("a.title"), col("b.title")).as("jaro_winkler"),
         levenshtein_sim(col("a.prefix"), col("b.prefix"), LevCap).as("levenshtein_sim"),
-        col("cosine"), col("num_sim"))
+        col("cosine"), col("inv_l1"), col("num_sim"), col("mmr"))
       .withColumn("score", lit(1.0) / (lit(1.0) + exp(-z)))
       .as[ScoredPair]
   }

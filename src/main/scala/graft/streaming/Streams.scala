@@ -34,36 +34,80 @@ object Streams {
   }
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  /** Open-session state; start/last are epoch MICROseconds (Timestamp.getTime
+    * is millis and silently truncates the source's microsecond event times —
+    * the batch/stream equivalence test pins this). */
   case class SessionState(start: Long, last: Long, n: Int)
   case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Int)
 
-  /** Gap-based sessionization (30-min inactivity closes a session) with
-    * explicit state — the custom-state streaming shape the engine exposes. */
+  private def toMicros(ts: Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+  private def toTimestamp(us: Long): Timestamp = {
+    val ts = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    ts
+  }
+
+  /** Gap-based sessionization (30-min inactivity closes a session).
+    *
+    * Batch input: the native `session_window` aggregation (no custom state —
+    * the idiomatic Spark form; session_end is the LAST EVENT time, not
+    * last + gap, matching q31's SQL analog).
+    *
+    * Streaming input: flatMapGroupsWithState with REAL GroupState — open
+    * sessions persist across micro-batches, new events (in any within-
+    * watermark order) merge into them interval-wise, and a session is
+    * emitted only once the event-time watermark passes its end + gap
+    * (either on a later batch for the key or via EventTimeTimeout).
+    * Sessions spanning micro-batches are therefore emitted exactly once,
+    * never split. */
   def sessionize(spark: SparkSession, events: Dataset[Event],
-                 gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+                 gapMs: Long = 30 * 60 * 1000L,
+                 watermark: String = "2 hours"): Dataset[Session] = {
     import spark.implicits._
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[SessionState], Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user: Long, it: Iterator[Event], state: GroupState[List[SessionState]]) =>
-          // batch-mode friendly: sort the group's events, emit closed sessions
-          val times = it.map(_.ts.getTime).toArray.sorted
-          if (times.isEmpty) Iterator.empty
-          else {
-            val sessions = scala.collection.mutable.ListBuffer.empty[Session]
-            var start = times(0); var last = times(0); var n = 1
-            var i = 1
-            while (i < times.length) {
-              if (times(i) - last > gapMs) {
-                sessions += Session(user, new Timestamp(start), new Timestamp(last), n)
-                start = times(i); n = 0
-              }
-              last = times(i); n += 1
-              i += 1
+    // event time must be TIMESTAMP (not NTZ) for watermarking
+    val events0 = events.toDF().withColumn("ts", col("ts").cast("timestamp")).as[Event]
+    if (!events.isStreaming) {
+      events0.toDF()
+        .groupBy(col("user_id"), session_window(col("ts"), s"$gapMs milliseconds").as("w"))
+        .agg(count(lit(1)).cast("int").as("n_events"), max(col("ts")).as("session_end"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("session_end"), col("n_events"))
+        .as[Session]
+    } else {
+      events0.withWatermark("ts", watermark)
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState[List[SessionState], Session](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+          (user: Long, it: Iterator[Event], state: GroupState[List[SessionState]]) =>
+            val gapUs = gapMs * 1000L
+            // merge open sessions with incoming events, interval-wise
+            val existing = state.getOption.getOrElse(Nil)
+            val incoming = it.map { e =>
+              val us = toMicros(e.ts); SessionState(us, us, 1)
+            }.toList
+            val merged = (existing ++ incoming).sortBy(s => (s.start, s.last))
+              .foldLeft(List.empty[SessionState]) { (acc, s) =>
+                acc match {
+                  case h :: t if s.start - h.last <= gapUs =>
+                    SessionState(h.start, math.max(h.last, s.last), h.n + s.n) :: t
+                  case _ => s :: acc
+                }
+              }.reverse
+            // a session is closed once no within-watermark event can extend it
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val (closed, open) = merged.partition(_.last + gapUs < wmUs)
+            if (open.isEmpty) state.remove()
+            else {
+              state.update(open)
+              // wake up when the watermark passes the earliest possible close
+              state.setTimeoutTimestamp(math.max(
+                (open.map(_.last).min + gapUs) / 1000L,
+                state.getCurrentWatermarkMs() + 1))
             }
-            sessions += Session(user, new Timestamp(start), new Timestamp(last), n)
-            sessions.iterator
-          }
-      }
+            closed.iterator.map(s =>
+              Session(user, toTimestamp(s.start), toTimestamp(s.last), s.n))
+        }
+    }
   }
 }

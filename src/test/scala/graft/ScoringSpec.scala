@@ -65,6 +65,37 @@ class ScoringSpec extends SparkSpec {
     assert(Eval.auroc(flat) == 1.0)
   }
 
+  test("AUROC midranks: tied scores match the exact pairwise statistic") {
+    // heavy ties on a coarse score grid — the regime where naive consecutive
+    // ranks (zipWithIndex) deviate from sklearn's midrank AUROC
+    val r = new scala.util.Random(7)
+    val rows = (0 until 400).map { _ =>
+      val label = if (r.nextBoolean()) 1 else 0
+      val score = math.round((r.nextDouble() * 0.3 + label * 0.2) * 10) / 10.0
+      (score, label)
+    }
+    val exact = { // AUROC = P(s_pos > s_neg) + 0.5 P(s_pos = s_neg)
+      val pos = rows.filter(_._2 == 1).map(_._1)
+      val neg = rows.filter(_._2 == 0).map(_._1)
+      val s = (for (p <- pos; n <- neg)
+        yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+      s / (pos.size.toDouble * neg.size)
+    }
+    val got = Eval.auroc(rows.toDF("score", "label"))
+    info(f"midrank AUROC = $got%.6f exact = $exact%.6f")
+    assert(math.abs(got - exact) < 1e-9)
+  }
+
+  test("detokenize: idx→word roundtrip over the broadcast vocabulary") {
+    val words = Fixture.vocab.take(6).toSeq
+    val ids = words.map(w => Fixture.vocabIndex(w))
+    val df = Seq((1L, ids), (2L, Seq(0, ids.head))).toDF("k", "token_ids")
+    val got = Scoring.detokenize(spark, df, "k", "token_ids")
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == words.mkString(" "))
+    assert(got(2L) == " " + words.head) // id 0 = padding/unknown → empty token
+  }
+
   test("numeric sims wired with reference semantics into score") {
     // identical price across dup copies → num_sim = exp(0) = 1 for positives
     val attrs = Scoring.attrs(spark, pages)

@@ -60,6 +60,55 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup_stream").count() == batchEvents.count())
   }
 
+  test("sessionization state spans micro-batches: exactly-once, never split") {
+    import java.nio.file.{Files, Paths}
+    val d = Files.createTempDirectory("graft-sess-stream")
+    def writeChunk(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-sess-chunk").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(d.toString, name))
+    }
+    // two time-ordered drops: open sessions at the cut MUST span micro-batches
+    val med = batchEvents.select(unix_millis($"ts".cast("timestamp")).as("ms"))
+      .stat.approxQuantile("ms", Array(0.5), 0.0)(0).toLong
+    writeChunk(batchEvents.where(unix_millis($"ts".cast("timestamp")) <= med), "000.parquet")
+    writeChunk(batchEvents.where(unix_millis($"ts".cast("timestamp")) > med), "001.parquet")
+    // sentinel batches for a dummy user push the watermark past every real
+    // session close (+4h, +5h against a 2h watermark and 30-min gap), so all
+    // real sessions emit via state timeout before the stream drains
+    val maxTs = batchEvents.agg(max($"ts".cast("timestamp"))).collect()(0).getTimestamp(0)
+    def sentinel(offsetH: Int, name: String): Unit = {
+      val ts = new java.sql.Timestamp(maxTs.getTime + offsetH * 3600 * 1000L)
+      writeChunk(
+        Seq((9000000L + offsetH, ts, 999999L, "sentinel", 0.0))
+          .toDF("event_id", "ts", "user_id", "event_type", "value")
+          .select($"event_id", $"ts".cast("timestamp_ntz").as("ts"), $"user_id",
+            $"event_type", $"value"),
+        name)
+    }
+    sentinel(4, "002.parquet")
+    sentinel(5, "003.parquet")
+
+    val stream = spark.readStream.schema(batchEvents.schema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+    val q = Streams.sessionize(spark, stream.as[Streams.Event]).writeStream
+      .outputMode("append")
+      .format("memory").queryName("sess_stream")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("sess_stream").where($"user_id" =!= 999999L)
+    val expected = Streams.sessionize(spark, batchEvents.as[Streams.Event]).toDF()
+    // exact set equality with the batch answer: a session split across the
+    // micro-batch boundary or emitted twice would break it
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(got).count() == 0)
+  }
+
   test("stateful sessionization groups events by 30-min gaps") {
     val events = batchEvents.as[Streams.Event]
     val sessions = Streams.sessionize(spark, events).cache()
