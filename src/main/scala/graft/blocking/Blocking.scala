@@ -45,8 +45,15 @@ object Blocking {
   /** Block table: (block_key: long, id: long). One row per (page, key);
     * bands+1 keys per page. The MinHash signature is one codegen'd custom
     * expression pass (MinHashBandsExpr) — no intermediate shingle arrays. */
-  def blockTable(pages: DataFrame, cfg: Config = Config()): DataFrame = {
-    val norm = Normalize.normText(col("text"))
+  def blockTable(pages: DataFrame, cfg: Config = Config()): DataFrame =
+    blockTableFromProjected(
+      pages.select(pageId.as("id"), col("url"),
+        Normalize.normText(col("text")).as("norm")), cfg)
+
+  /** [[blockTable]] over an already-normalized frame (id, url, norm) — lets
+    * the pipeline run the normText kernel once for blocking AND scoring. */
+  def blockTableFromProjected(projected: DataFrame, cfg: Config = Config()): DataFrame = {
+    val norm = col("norm")
     val mh = GraftFunctions.minhash_bands(norm, cfg.bands, cfg.rows, cfg.seed)
     val keys =
       if (cfg.domainKey) {
@@ -55,7 +62,7 @@ object Blocking {
         val domKey = xxhash64(Normalize.domain(col("url")), substring(norm, 1, 12), lit(DomSeed))
         concat(mh, array(domKey))
       } else mh
-    pages.select(pageId.as("id"), explode(keys).as("block_key"))
+    projected.select(col("id"), explode(keys).as("block_key"))
   }
 
   /** Generic salted block-local self-join — THE skew defuser, shared by ER
@@ -86,20 +93,7 @@ object Blocking {
     */
   def saltedSelfJoinPairs(entries: DataFrame, cap: Int, maxBlock: Int,
                           payload: Seq[String] = Nil): DataFrame = {
-    val sizes = entries.groupBy("block_key").agg(count(lit(1)).as("n"))
-      .where(col("n") > 1 && (if (maxBlock > 0) col("n") <= maxBlock else lit(true)))
-    val sized = entries.join(sizes, "block_key")
-      .withColumn("k", ceil(col("n") / cap).cast("int"))
-      .withColumn("salt", pmod(xxhash64(col("id"), lit(SaltSeed)), col("k")).cast("int"))
-    val lowBuckets = transform(sequence(lit(0), col("salt")),
-      a => struct(a.as("x"), col("salt").as("y")))
-    val highBuckets = when(col("salt") + 1 > col("k") - 1, array().cast("array<struct<x:int,y:int>>"))
-      .otherwise(transform(sequence(col("salt") + 1, col("k") - 1),
-        b => struct(col("salt").as("x"), b.as("y"))))
-    val bucketed = sized
-      .withColumn("bucket", explode(concat(lowBuckets, highBuckets)))
-      .select(("block_key" +: "bucket" +: "salt" +: "id" +: payload).map(col): _*)
-
+    val bucketed = saltedBuckets(entries, cap, maxBlock, payload)
     val l = bucketed.as("l")
     val r = bucketed.as("r")
     val outCols = col("l.id").as("id1") +: col("r.id").as("id2") +:
@@ -111,6 +105,26 @@ object Blocking {
       // same-salt pairs live only in the diagonal bucket (x == y)
       .where(col("l.bucket.x") === col("l.bucket.y") || col("l.salt") =!= col("r.salt"))
       .select(outCols: _*)
+  }
+
+  /** The replicated-bucket table behind [[saltedSelfJoinPairs]] — exposed for
+    * the planted-hot-key bound test: rows per (block_key, bucket) is what a
+    * single join task co-joins, ≤ ~2·cap by the triangle construction. */
+  private[graft] def saltedBuckets(entries: DataFrame, cap: Int, maxBlock: Int,
+                                   payload: Seq[String] = Nil): DataFrame = {
+    val sizes = entries.groupBy("block_key").agg(count(lit(1)).as("n"))
+      .where(col("n") > 1 && (if (maxBlock > 0) col("n") <= maxBlock else lit(true)))
+    val sized = entries.join(sizes, "block_key")
+      .withColumn("k", ceil(col("n") / cap).cast("int"))
+      .withColumn("salt", pmod(xxhash64(col("id"), lit(SaltSeed)), col("k")).cast("int"))
+    val lowBuckets = transform(sequence(lit(0), col("salt")),
+      a => struct(a.as("x"), col("salt").as("y")))
+    val highBuckets = when(col("salt") + 1 > col("k") - 1, array().cast("array<struct<x:int,y:int>>"))
+      .otherwise(transform(sequence(col("salt") + 1, col("k") - 1),
+        b => struct(col("salt").as("x"), b.as("y"))))
+    sized
+      .withColumn("bucket", explode(concat(lowBuckets, highBuckets)))
+      .select(("block_key" +: "bucket" +: "salt" +: "id" +: payload).map(col): _*)
   }
 
   /** ER candidate pairs: the salted self-join over the MinHash+domain block

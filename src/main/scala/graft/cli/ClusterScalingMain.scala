@@ -32,6 +32,10 @@ object ClusterScalingMain {
       // 4 cores, not the host's 32 — without this, 8 executors × 32-thread
       // pools thrash the box and more executors run slower
       .config("spark.executor.extraJavaOptions", "-XX:ActiveProcessorCount=4")
+      // localCheckpoint pins blocks to executors; the default 3 s locality
+      // wait then leaves other executors IDLE waiting for PROCESS_LOCAL
+      // slots — on one box every fetch is loopback, so never wait
+      .config("spark.locality.wait", "0")
       .config("spark.executor.extraClassPath",
         sys.props.getOrElse("graft.classes", "/root/repo/target/scala-2.13/classes"))
       .getOrCreate()
@@ -45,7 +49,7 @@ object ClusterScalingMain {
     val baseN = args.drop(2).headOption.map(_.toInt).getOrElse(2)
     val results = Seq(baseN, baseN * 4).map { workers =>
       val spark = sessionAt(workers)
-      graft.Bench.erPipeline(spark, 2000L) // warm-up (JIT, codegen, classloading)
+      graft.Bench.erPipeline(spark, 100000L) // warm-up: C2 JIT + shuffle dirs need real volume
       val runs = (1 to reps).map { i =>
         val r = graft.Bench.erPipeline(spark, nPages)
         println(f"[scaling] workers=$workers rep=$i ${r._1}%.2f s")

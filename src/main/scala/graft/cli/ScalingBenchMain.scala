@@ -3,10 +3,13 @@ package graft.cli
 import org.apache.spark.sql.SparkSession
 
 /** Two-cluster-size scaling evidence (BASELINE.md north rule): the same ER
-  * job, same input, at local[8] vs local[32] — the sandbox proxy for N vs 4N
-  * executors. Reports pairs-scored/sec at both parallelism levels and the
-  * scaling efficiency (T_8 / T_32) / 4. Run: sbt "runMain
-  * graft.cli.ScalingBenchMain [nPages]". */
+  * job, same input, at local[N] vs local[4N] cores — the N-vs-4N-cores proxy
+  * the sandbox supports cleanly (one JVM: shared JIT, no executor RPC, no
+  * cross-process scheduler noise). Pick baseCores so 4N stays at or below
+  * the box's PHYSICAL core count (default 2→8 on this 16-physical-core VM;
+  * 8→32 crosses the SMT cliff and measures the substrate, not the job).
+  * Reports pairs-scored/sec at both levels and (T_N / T_4N) / 4. Run:
+  * sbt "runMain graft.cli.ScalingBenchMain [nPages] [reps] [baseCores]". */
 object ScalingBenchMain {
 
   private def sessionAt(cores: Int): SparkSession = {
@@ -25,11 +28,12 @@ object ScalingBenchMain {
   def main(args: Array[String]): Unit = {
     val nPages = args.headOption.map(_.toLong).getOrElse(100000L)
     val reps = args.drop(1).headOption.map(_.toInt).getOrElse(2)
-    val results = Seq(8, 32).map { cores =>
+    val base = args.drop(2).headOption.map(_.toInt).getOrElse(2)
+    val results = Seq(base, base * 4).map { cores =>
       val spark = sessionAt(cores)
       // warm-up pass (JIT/codegen caches) at small n, then min of `reps`
       // measured runs (min is the noise-robust estimator on a shared VM)
-      graft.Bench.erPipeline(spark, 2000L)
+      graft.Bench.erPipeline(spark, 100000L)
       val runs = (1 to reps).map(_ => graft.Bench.erPipeline(spark, nPages))
       val (secs, pairs, clusters) = runs.minBy(_._1)
       spark.stop()
@@ -38,11 +42,12 @@ object ScalingBenchMain {
       SparkSession.clearDefaultSession()
       (cores, secs, pairs, clusters)
     }
-    val Seq((_, t8, p8, _), (_, t32, p32, c32)) = results
-    val eff = (t8 / t32) / 4.0
-    println(f"""{"n_pages":$nPages,"pairs_scored":$p8,"clusters":$c32,""" +
-      f""""t_local8_sec":$t8%.2f,"t_local32_sec":$t32%.2f,""" +
-      f""""pairs_per_sec_8":${(p8 / t8).round},"pairs_per_sec_32":${(p32 / t32).round},""" +
+    val Seq((_, tN, pN, _), (_, t4N, p4N, c4N)) = results
+    val eff = (tN / t4N) / 4.0
+    println(f"""{"mode":"threads","cores_n":$base,"cores_4n":${base * 4},""" +
+      f""""n_pages":$nPages,"pairs_scored":$pN,"clusters":$c4N,""" +
+      f""""t_n_sec":$tN%.2f,"t_4n_sec":$t4N%.2f,""" +
+      f""""pairs_per_sec_n":${(pN / tN).round},"pairs_per_sec_4n":${(p4N / t4N).round},""" +
       f""""scaling_efficiency":$eff%.3f}""")
   }
 }

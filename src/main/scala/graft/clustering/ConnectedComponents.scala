@@ -40,17 +40,23 @@ object ConnectedComponents {
     moved.unionByName(self).distinct()
   }
 
-  /** Convergence signature (edge count, order-independent hash) is collected
-    * as an `observe` side effect of the checkpoint materialization — zero
-    * extra jobs per iteration, no driver collect of the edge set
-    * (SURVEY §7.5.5). */
-  private def checkpointWithSignature(df: DataFrame): (DataFrame, (Long, Long)) = {
-    val observed = df.observe("cc_sig",
+  /** Convergence signature (edge count, order-independent hash) — and, when
+    * the input carries a `changed` column, the merges-applied counter — are
+    * collected as `observe` side effects of the checkpoint materialization:
+    * zero extra jobs per iteration, no driver collect of the edge set
+    * (SURVEY §7.5.5; merges fold VERDICT r1 §perf). */
+  private def checkpointWithSignature(df: DataFrame): (DataFrame, (Long, Long), Long) = {
+    val hasChanged = df.columns.contains("changed")
+    val base = Seq(
       count(lit(1)).as("n"),
       coalesce(expr("bit_xor(xxhash64(node, root))"), lit(0L)).as("h"))
-    val materialized = observed.localCheckpoint() // action: runs + records metrics
-    val row = observed.queryExecution.observedMetrics("cc_sig")
-    (materialized, (row.getLong(0), row.getLong(1)))
+    val metrics = base ++
+      (if (hasChanged) Seq(coalesce(sum(col("changed")), lit(0L)).as("m")) else Nil)
+    val observed = df.observe("cc_sig", metrics.head, metrics.tail: _*)
+    val projected = if (hasChanged) observed.select("node", "root") else observed
+    val materialized = projected.localCheckpoint() // action: runs + records metrics
+    val row = projected.queryExecution.observedMetrics("cc_sig")
+    (materialized, (row.getLong(0), row.getLong(1)), if (hasChanged) row.getLong(2) else 0L)
   }
 
   /**
@@ -61,7 +67,15 @@ object ConnectedComponents {
     *                      Parquet snapshot (north rule: checkpointed
     *                      per-iteration edge tables)
     * @param trackMerges   count root-pointer rewrites per iteration (lineage
-    *                      counter "merges applied"; one extra join/iteration)
+    *                      counter "merges applied"; a left join against the
+    *                      previous — already checkpointed — edge table that
+    *                      rides the SAME checkpoint job via observe: no extra
+    *                      action per iteration)
+    * @param roundsPerMaterialize large/small-star rounds chained per
+    *                      checkpoint/convergence-check (each materialization
+    *                      is one Spark job — a serial-latency floor at small
+    *                      edge counts; 2 halves the job count at the cost of
+    *                      possibly one extra round after convergence)
     */
   def run(
       spark: SparkSession,
@@ -69,8 +83,9 @@ object ConnectedComponents {
       nodes: Option[DataFrame] = None,
       maxIter: Int = 30,
       checkpointDir: Option[String] = None,
-      trackMerges: Boolean = true): Result = {
-    var (e, sig) = checkpointWithSignature(edges
+      trackMerges: Boolean = true,
+      roundsPerMaterialize: Int = 1): Result = {
+    var (e, sig, _) = checkpointWithSignature(edges
       .select(greatest(col("src"), col("dst")).as("node"), least(col("src"), col("dst")).as("root"))
       .where(col("node") =!= col("root"))
       .distinct())
@@ -80,14 +95,24 @@ object ConnectedComponents {
     var converged = sig._1 == 0L
     while (!converged && iter < maxIter) {
       iter += 1
-      val (next, nextSig) = checkpointWithSignature(smallStar(largeStar(e)))
+      val stepped = (1 to roundsPerMaterialize)
+        .foldLeft(e)((acc, _) => smallStar(largeStar(acc)))
+      // merges applied this round = root pointers created or rewritten =
+      // (node, root) rows absent from the previous edge table. The diff
+      // joins on BOTH columns — e's rows are distinct, so the left join can
+      // never fan out a stepped row (a node legitimately carries several
+      // roots mid-convergence; joining on node alone would DUPLICATE edges).
+      // Summed by the checkpoint's observe — no extra job.
+      val diffed =
+        if (trackMerges)
+          stepped.join(e.withColumn("existed", lit(1L)), Seq("node", "root"), "left")
+            .withColumn("changed", when(col("existed").isNull, 1L).otherwise(0L))
+            .select("node", "root", "changed")
+        else stepped
+      val (next, nextSig, m) = checkpointWithSignature(diffed)
+      merges += m
       checkpointDir.foreach { dir =>
         next.write.mode("overwrite").parquet(s"$dir/edges_iter_$iter")
-      }
-      if (trackMerges) {
-        // merges applied this round = root pointers created or rewritten
-        merges += next.join(e.withColumnRenamed("root", "prev"), Seq("node"), "left")
-          .where(col("prev").isNull || col("prev") =!= col("root")).count()
       }
       converged = nextSig == sig
       sig = nextSig

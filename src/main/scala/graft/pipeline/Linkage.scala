@@ -56,23 +56,27 @@ object Linkage {
     withUrl.join(clusterIds, "root").select(col("url"), col("cluster_id"))
   }
 
-  /** In-memory pipeline (no snapshots) — bench / entry / ad-hoc use. */
+  /** In-memory pipeline (no snapshots) — bench / entry / ad-hoc use ONLY.
+    * localCheckpoint trades fault tolerance and executor memory for speed
+    * (lost-executor = recompute-from-scratch, working set pinned in block
+    * storage); production runs use [[run]], whose Parquet snapshot stages
+    * are both resumable and memory-free. */
   def runLight(spark: SparkSession, pages: DataFrame,
                blocking: Blocking.Config = Blocking.Config(),
                weights: Scoring.Weights = Scoring.Weights(),
                pairsScored: Option[LongAccumulator] = None): DataFrame = {
     import spark.implicits._
-    // materialize the input scan and per-page attrs once — attrs feeds three
-    // consumers (slim join, wide join, id→url map); in the snapshotted
-    // pipeline the parquet stages play this role
-    val p = pages.localCheckpoint()
-    val attrs = {
-      import spark.implicits._
-      Scoring.attrs(spark, p).toDF().localCheckpoint().as[ScoreAttrs]
-    }
+    // materialize the normalized projection once — the normText kernel (the
+    // most expensive per-byte op) runs ONE pass; attrs and blocks both read
+    // it. attrs is materialized too (it feeds three consumers: slim join,
+    // wide join, id→url map); in the snapshotted pipeline the parquet stages
+    // play this role
+    val pre = Scoring.projected(pages).localCheckpoint()
+    val attrs = Scoring.attrsFromProjected(spark, pre)
+      .toDF().localCheckpoint().as[ScoreAttrs]
     // materialize the block table once: the self-join consumes it twice and
     // the broadcast variant would otherwise recompute the minhash pass per side
-    val blocks = Blocking.blockTable(p, blocking).localCheckpoint()
+    val blocks = Blocking.blockTableFromProjected(pre, blocking).localCheckpoint()
     val cands = Blocking.candidatePairs(blocks, blocking)
     val scored = Scoring.score(spark, cands, attrs, weights)
     // the pairs_scored observe metric (attached inside Scoring.score) rides
@@ -87,7 +91,8 @@ object Linkage {
     }
     val idUrl = attrs.toDF().select(col("id").as("node"), col("url"))
     val cc = ConnectedComponents.run(spark, edgesChk,
-      nodes = Some(idUrl.select("node")), trackMerges = false)
+      nodes = Some(idUrl.select("node")), trackMerges = false,
+      roundsPerMaterialize = 2) // halve CC's serial job floor (bench path)
     toUrlClusters(cc.assignments, idUrl)
   }
 

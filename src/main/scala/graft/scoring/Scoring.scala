@@ -62,11 +62,16 @@ object Scoring {
     * are bounded by |vocab| at ANY corpus scale — a web-scale corpus has
     * unbounded distinct tokens, and aggregating those first would OOM the
     * driver. */
-  def idfWeights(spark: SparkSession, pages: DataFrame): Map[Int, Double] = {
+  def idfWeights(spark: SparkSession, pages: DataFrame): Map[Int, Double] =
+    idfWeightsFromNorm(spark,
+      pages.select(Normalize.normText(col("text")).as("norm")))
+
+  /** [[idfWeights]] over an already-normalized frame (column `norm`). */
+  def idfWeightsFromNorm(spark: SparkSession, normed: DataFrame): Map[Int, Double] = {
     import spark.implicits._
     val bcVocab = spark.sparkContext.broadcast(Fixture.vocabIndex)
-    pages
-      .select(explode(array_distinct(split(Normalize.normText(col("text")), " "))).as("t"))
+    normed
+      .select(explode(array_distinct(split(col("norm"), " "))).as("t"))
       .as[String]
       .mapPartitions { it =>
         val v = bcVocab.value
@@ -103,18 +108,29 @@ object Scoring {
     * average block multiplicity — the decisive optimization at 10^12 pairs.
     * Tokenization runs inside the kernel (manual splitter, no per-row
     * Catalyst array materialization). */
-  def attrs(spark: SparkSession, pages: DataFrame,
-            composition: Composition = Average): Dataset[ScoreAttrs] = {
-    import spark.implicits._
-    val projected = pages.select(
+  /** One normalization pass over the corpus: (id, url, norm, price). Both
+    * [[attrsFromProjected]] and `Blocking.blockTableFromProjected` consume
+    * this frame, so the normText kernel — the single most expensive per-byte
+    * op in the pipeline — runs ONCE per page, not once per consumer. */
+  def projected(pages: DataFrame): DataFrame =
+    pages.select(
       graft.blocking.Blocking.pageId.as("id"),
       col("url"),
       Normalize.normText(col("text")).as("norm"),
       Normalize.price(col("text")).as("price"))
+
+  def attrs(spark: SparkSession, pages: DataFrame,
+            composition: Composition = Average): Dataset[ScoreAttrs] =
+    attrsFromProjected(spark, projected(pages), composition)
+
+  /** [[attrs]] over an already-normalized [[projected]] frame. */
+  def attrsFromProjected(spark: SparkSession, projected: DataFrame,
+                         composition: Composition = Average): Dataset[ScoreAttrs] = {
+    import spark.implicits._
     val bcVocab = spark.sparkContext.broadcast(Fixture.vocabIndex)
     val bcEmb = spark.sparkContext.broadcast(Fixture.embeddingMatrix)
     val bcIdf = spark.sparkContext.broadcast(composition match {
-      case Idf => idfWeights(spark, pages)
+      case Idf => idfWeightsFromNorm(spark, projected)
       case Average => Map.empty[Int, Double]
     })
     projected.as[(Long, String, String, Double)].mapPartitions { it =>

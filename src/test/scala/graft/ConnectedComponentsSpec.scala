@@ -80,6 +80,25 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("assignments hold each node EXACTLY once (no diff-join fan-out)") {
+    // regression: a node carries several roots mid-convergence; the
+    // trackMerges diff must join on (node, root), never on node alone —
+    // joining on node alone silently duplicated edge rows (caught by the
+    // CLI eval pair counts, not by set-compare tests)
+    val r = new scala.util.Random(11)
+    val nodes = (0 until 60).map(i => f"m$i%03d")
+    val edges = (0 until 150).map { _ =>
+      (nodes(r.nextInt(nodes.size)), nodes(r.nextInt(nodes.size)))
+    }.filter(e => e._1 != e._2).toDF("src", "dst")
+    for (track <- Seq(true, false)) {
+      val res = ConnectedComponents.run(spark, edges,
+        nodes = Some(nodes.toDF("node")), trackMerges = track)
+      val dup = res.assignments.groupBy("node").count().where($"count" > 1)
+      assert(dup.count() == 0, s"trackMerges=$track duplicated assignments")
+      assert(res.assignments.count() == nodes.size.toLong)
+    }
+  }
+
   test("iteration count is logarithmic-ish and merges tracked") {
     val n = 128
     val edges = (0 until n - 1).map(i => (f"v$i%03d", f"v${i + 1}%03d")).toDF("src", "dst")

@@ -61,6 +61,26 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L))) // 3 below tau; 4 in another block
   }
 
+  test("planted hot key: salted self-join bounds per-task rows, full coverage") {
+    val n = 2000
+    val cap = 64
+    // one pathological block key holding every row — the quadratic-hot-bucket
+    // failure mode the triangle salting exists to defuse
+    val entries = spark.range(n).select(lit(7L).as("block_key"), $"id")
+    val pairs = graft.blocking.Blocking.saltedSelfJoinPairs(entries, cap, maxBlock = 0)
+    // 100% pair coverage despite the salting
+    assert(pairs.count() == n.toLong * (n - 1) / 2)
+    // a join task co-joins one (block_key, bucket) group: bounded by ~2·cap
+    // (hash-salt variance allowed for, never the unsalted n=2000)
+    val maxBucket = graft.blocking.Blocking.saltedBuckets(entries, cap, maxBlock = 0)
+      .groupBy("block_key", "bucket").count()
+      .agg(max("count")).as[Long].collect()(0)
+    assert(maxBucket <= 3L * cap, s"hot bucket holds $maxBucket rows (cap=$cap)")
+    // dropping path: maxBlock excises the block entirely, never partially
+    val dropped = graft.blocking.Blocking.saltedSelfJoinPairs(entries, cap, maxBlock = n - 1)
+    assert(dropped.count() == 0)
+  }
+
   test("embedding near-dup: brute and LSH-bucketed agree on high-sim pairs") {
     val vecs = (0 until 60).map { i =>
       val base = Array.tabulate(16)(j => math.sin(i * 0.7 + j).toFloat)
