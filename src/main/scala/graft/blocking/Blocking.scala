@@ -92,8 +92,17 @@ object Blocking {
     * (LSH bands) follow with dropDuplicates(id1, id2).
     */
   def saltedSelfJoinPairs(entries: DataFrame, cap: Int, maxBlock: Int,
-                          payload: Seq[String] = Nil): DataFrame = {
-    val bucketed = saltedBuckets(entries, cap, maxBlock, payload)
+                          payload: Seq[String] = Nil,
+                          persistEntries: Boolean = true): DataFrame = {
+    // entries feed THREE consumers (block sizes + both join sides); without
+    // materialization the upstream key computation (minhash bands, simhash
+    // aggregation, gram arrays) re-executes per consumer. Callers that
+    // already checkpoint their entries (the ER pipeline) opt out.
+    val e =
+      if (persistEntries)
+        entries.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else entries
+    val bucketed = saltedBuckets(e, cap, maxBlock, payload)
     val l = bucketed.as("l")
     val r = bucketed.as("r")
     val outCols = col("l.id").as("id1") +: col("r.id").as("id2") +:
@@ -131,7 +140,9 @@ object Blocking {
     * table, globally deduped (a pair found by several keys is emitted once —
     * SURVEY §4.3.2: plain dropDuplicates wins). */
   def candidatePairs(blocks: DataFrame, cfg: Config = Config()): DataFrame =
-    saltedSelfJoinPairs(blocks, cfg.cap, cfg.maxBlock)
+    // the pipeline checkpoints its block table before calling (it is consumed
+    // by blockStats too) — no second materialization here
+    saltedSelfJoinPairs(blocks, cfg.cap, cfg.maxBlock, persistEntries = false)
       .dropDuplicates("id1", "id2")
 
   /** Lineage metrics for the block stage: blocks built, size distribution,

@@ -11,7 +11,7 @@ import graft.lineage.SnapshotStore
 import graft.scoring.Scoring
 
 /** The three-stage record-linkage pipeline (north star):
-  *   ingest(manifest-only) → attrs → blocks → pairs → scored → clusters
+  *   ingest(manifest-only) → projected → attrs → blocks → pairs → scored → clusters
   * Every stage is an Iceberg-style Parquet snapshot + JSON manifest with
   * lineage counters; a rerun with resume=true picks up after the last
   * complete stage. The per-row invariant (byte-identical text per url,
@@ -117,9 +117,17 @@ object Linkage {
     }
     counters ++= ingestCounters.map { case (k, v) => s"ingest.$k" -> v }
 
+    // stage 0b: one-pass normalized projection (id, url, norm, price) — the
+    // normText kernel (the most expensive per-byte op in the pipeline) runs
+    // ONCE over the source; the attrs AND blocks stages read this snapshot
+    // instead of each re-normalizing 100 TB of text
+    val projected = track("projected", store.stage("projected", fp) {
+      Scoring.projected(pages)
+    })
+
     // stage 1a: per-page scoring attributes (frozen-embedding composition)
     val attrs = track("attrs", store.stage("attrs", fp) {
-      Scoring.attrs(spark, pages, cfg.composition).toDF()
+      Scoring.attrsFromProjected(spark, projected, cfg.composition).toDF()
     })
     // id-collision guard: 64-bit ids must be unique or clusters would merge silently
     val idCheck = attrs.agg(count(lit(1)).as("n"), countDistinct(col("id")).as("d")).collect()(0)
@@ -129,7 +137,7 @@ object Linkage {
     // stage 1b: salted block table (numeric keys)
     val blocks = track("blocks", store.stage("blocks", fp,
       countersFromWritten = w => Blocking.blockStats(w, cfg.blocking)) {
-      Blocking.blockTable(pages, cfg.blocking)
+      Blocking.blockTableFromProjected(projected, cfg.blocking)
     })
 
     // stage 2a: block-local self-join → candidate pairs (id1, id2)

@@ -61,7 +61,7 @@ class EndToEndSpec extends SparkSpec {
     val resumed = Linkage.run(spark, pages,
       Linkage.Config(workDir = workDir, resume = true))
     assert(resumed.resumedStages ==
-      Seq("attrs", "blocks", "pairs", "scored", "clusters"))
+      Seq("projected", "attrs", "blocks", "pairs", "scored", "clusters"))
     assert(resumed.clusters.orderBy("url").collect().sameElements(before))
   }
 
@@ -70,13 +70,13 @@ class EndToEndSpec extends SparkSpec {
     val cfg = Linkage.Config(workDir = dir2)
     // simulate a killed run: copy completed early stages only
     val full = new java.io.File(workDir)
-    for (stage <- Seq("ingest", "attrs", "blocks")) {
+    for (stage <- Seq("ingest", "projected", "attrs", "blocks")) {
       val src = new java.io.File(full, stage)
       val dst = new java.io.File(dir2, stage)
       org.apache.commons.io.FileUtils.copyDirectory(src, dst)
     }
     val resumed = Linkage.run(spark, pages, cfg.copy(resume = true))
-    assert(resumed.resumedStages == Seq("attrs", "blocks"))
+    assert(resumed.resumedStages == Seq("projected", "attrs", "blocks"))
     val m = Eval.pairwise(resumed.clusters, labeled)
     assert(m.f1 >= 0.99)
   }
