@@ -337,6 +337,36 @@ object Oracles {
         |  CAST(SUM(CASE WHEN value <= 50 AND event_type <> 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS tn
         |FROM events""".stripMargin,
 
+    "q35_repetition" ->
+      """WITH toks AS (SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+        |         i -> t[i+1] || ' ' || t[i+2])) AS g FROM toks WHERE len(t) >= 2),
+        |bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        |bga AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        |          CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_f FROM bgc GROUP BY 1),
+        |tg AS (SELECT doc_id, unnest(list_transform(range(len(t) - 2),
+        |         i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+        |       FROM toks WHERE len(t) >= 3),
+        |tgc AS (SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY 1, 2),
+        |tga AS (SELECT doc_id,
+        |          CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c) AS dup_f
+        |        FROM tgc GROUP BY 1)
+        |SELECT b.doc_id, n_bigrams, ROUND(top_f, 6) AS top_bigram_frac,
+        |  ROUND(dup_f, 6) AS dup_trigram_frac
+        |FROM bga b JOIN tga USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q36_shingle_novelty" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(greatest(len(t) - 5, 0) + 1),
+        |    i -> array_to_string(t[i+1:i+5], '')))) AS g
+        |  FROM (SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents)
+        |), own AS (SELECT g, MIN(doc_id) AS owner FROM sh GROUP BY 1)
+        |SELECT sh.doc_id, COUNT(*) AS n_shingles,
+        |  ROUND(CAST(SUM(CASE WHEN own.owner = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / COUNT(*), 6) AS novel_frac
+        |FROM sh JOIN own USING (g) GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // closed-form ground truth of the flagship ER pipeline: the fixture
     // plants entity clusters by pure docId arithmetic (Fixture.entityOf —
     // cycle of 23 docs over sizes 1,1,1,2,2,3,5,8), so the cluster-size

@@ -370,6 +370,22 @@ object Queries {
       sum(when(!pred && !label, 1L).otherwise(0L)).as("tn"))
   }
 
+  /** Quality/repetition: Gopher-style top-bigram and duplicate-trigram mass. */
+  def q35_repetition(s: SparkSession, dir: String): DataFrame =
+    TextStats.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_2grams").as("n_bigrams"),
+        round(col("top_bigram_frac"), 6).as("top_bigram_frac"),
+        round(col("dup_trigram_frac"), 6).as("dup_trigram_frac"))
+      .orderBy("doc_id")
+
+  /** Dedup/novelty: fraction of a doc's distinct 5-gram shingles first seen
+    * in this doc (corpus-wide min-id ownership — CCNet-style recycling signal). */
+  def q36_shingle_novelty(s: SparkSession, dir: String): DataFrame =
+    Dedup.shingleNovelty(t(s, dir, "documents"), "doc_id", "text", n = 5)
+      .select(col("id").as("doc_id"), col("n_shingles"),
+        round(col("novel_frac"), 6).as("novel_frac"))
+      .orderBy("doc_id")
+
   // -------------------------------------------------------- ER pipeline surface
 
   /** The flagship 3-stage linkage on deterministic fixture pages (rows-only:

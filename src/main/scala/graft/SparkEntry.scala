@@ -53,6 +53,8 @@ object SparkEntry {
     "q32_topk" -> Queries.q32_topk,
     "q33_vector_norms" -> Queries.q33_vector_norms,
     "q34_eval_counts" -> Queries.q34_eval_counts,
+    "q35_repetition" -> Queries.q35_repetition,
+    "q36_shingle_novelty" -> Queries.q36_shingle_novelty,
     "q40_er_clusters" -> Queries.q40_er_clusters
   )
 

@@ -167,6 +167,24 @@ object Dedup {
         .reduce(_ + _).as("fp"))
   }
 
+  /** Cross-corpus shingle novelty (the CCNet/Falcon-style curation signal):
+    * for each doc, the fraction of its DISTINCT token n-gram shingles whose
+    * corpus-wide first owner (min doc id) is this doc. Low novelty = the
+    * text is mostly recycled from earlier documents. Two shuffles, both
+    * partial-aggregating: shingle→min-owner groupBy, then the ownership
+    * join back (1:1 per exploded row — a hot shingle cannot fan out). */
+  def shingleNovelty(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 5): DataFrame = {
+    val exploded = df
+      .select(col(idCol).as("id"), explode(tokenNgrams(col(textCol), n)).as("g"))
+    val owners = exploded.groupBy("g").agg(min(col("id")).as("owner"))
+    exploded.join(owners, "g")
+      .groupBy("id").agg(
+        count(lit(1)).as("n_shingles"),
+        (sum(when(col("owner") === col("id"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("novel_frac"))
+  }
+
   /** Embedding near-duplicate pairs: SRP-LSH bucket join (scale path — a
     * bucketed shuffle instead of an all-pairs cross join), exact-cosine
     * verified. `nBits = 0` degrades to brute force (testing / tiny inputs). */

@@ -75,4 +75,31 @@ object TextStats {
     * (order/duplication-insensitive — catches shuffled near-copies). */
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(split(lower(text), "\\s+")))))
+
+  /** Token n-grams joined by a single space (repetition analysis unit). */
+  private def spacedNgrams(text: Column, n: Int): Column = {
+    val toks = split(lower(text), " ")
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Gopher-style repetition quality signals (Rae et al. 2021 §A1.1, public):
+    * the mass of the single most frequent bigram and the mass of trigrams
+    * occurring more than once — high values mark boilerplate/spam. One
+    * explode + partial-aggregating groupBy per gram width; no windows. */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame,
+                      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    def gramMass(n: Int, top: Boolean, out: String) = {
+      val counts = df
+        .select(col(idCol).as("id"), explode(spacedNgrams(col(textCol), n)).as("g"))
+        .groupBy("id", "g").agg(count(lit(1)).as("c"))
+      val massNum = if (top) max(col("c")) else sum(when(col("c") > 1, col("c")).otherwise(0L))
+      counts.groupBy("id").agg(
+        sum(col("c")).as(s"n_${n}grams"),
+        (massNum.cast("double") / sum(col("c"))).as(out))
+    }
+    gramMass(2, top = true, "top_bigram_frac")
+      .join(gramMass(3, top = false, "dup_trigram_frac").drop("n_3grams"), "id")
+  }
 }

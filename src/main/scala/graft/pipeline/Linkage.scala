@@ -90,9 +90,12 @@ object Linkage {
         .foreach(r => acc.add(r.getLong(0)))
     }
     val idUrl = attrs.toDF().select(col("id").as("node"), col("url"))
+    // roundsPerMaterialize stays 1: each star round consumes its input 3-4×
+    // (symmetrize + min-aggregate + join), so chaining rounds unmaterialized
+    // re-executes the previous round's plan per consumer — measured SLOWER
+    // than paying one checkpoint job per round (er 12.8 → 17.3 s at 100k)
     val cc = ConnectedComponents.run(spark, edgesChk,
-      nodes = Some(idUrl.select("node")), trackMerges = false,
-      roundsPerMaterialize = 2) // halve CC's serial job floor (bench path)
+      nodes = Some(idUrl.select("node")), trackMerges = false)
     toUrlClusters(cc.assignments, idUrl)
   }
 

@@ -61,6 +61,33 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L))) // 3 below tau; 4 in another block
   }
 
+  test("repetition stats: boilerplate scores high, varied prose low") {
+    val docs = Seq(
+      (1L, "buy now buy now buy now buy now buy now"), // one bigram dominates
+      (2L, "the quick brown fox jumps over the lazy sleeping dog today")
+    ).toDF("id", "text")
+    val got = TextStats.repetitionStats(docs, "id", "text")
+      .select($"id", $"top_bigram_frac", $"dup_trigram_frac")
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L)._1 > 0.5) // "now buy"/"buy now" dominate
+    assert(got(1L)._2 > 0.8) // trigrams repeat heavily
+    assert(got(2L)._1 < 0.2 && got(2L)._2 == 0.0)
+  }
+
+  test("shingle novelty: copies of earlier docs score near zero") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), // owner of everything
+      (2L, base), // verbatim copy → novelty 0
+      (3L, (100 to 140).map(i => s"tok$i").mkString(" ")) // disjoint → novelty 1
+    ).toDF("id", "text")
+    val got = Dedup.shingleNovelty(docs, "id", "text", n = 5)
+      .select($"id", $"novel_frac").as[(Long, Double)].collect().toMap
+    assert(got(1L) == 1.0)
+    assert(got(2L) == 0.0)
+    assert(got(3L) == 1.0)
+  }
+
   test("planted hot key: salted self-join bounds per-task rows, full coverage") {
     val n = 2000
     val cap = 64
