@@ -34,6 +34,20 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q10: mean fill is a scalar aggregate, not a global window") {
+    // the agg-then-broadcast-join shape: a one-row broadcast, never an
+    // unpartitioned WindowExec funnelling every row through one task
+    val plan = formatted(Queries.q10_null_fill(spark, dir))
+    assert(!plan.contains("Window"), "global window crept back into q10")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      plan.take(2000))
+  }
+
+  test("q36: shingle ownership join never plans as cartesian") {
+    val plan = formatted(Queries.q36_shingle_novelty(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("scoring stage stays inside whole-stage codegen (no row objects)") {
     import spark.implicits._
     val pages = graft.fixtures.Fixture.pages(spark, 200).toDF()
