@@ -86,6 +86,19 @@ class ScoringSpec extends SparkSpec {
     assert(math.abs(got - exact) < 1e-9)
   }
 
+  test("two-sided IDF: each side weighted by its OWN document frequencies") {
+    val half = 1000L
+    val a = Fixture.pages(spark, half).toDF()
+    val b = graft.fixtures.Fixture.pagesWithTruth(spark, 2 * half).toDF()
+      .where(col("entity_id") >= 400).drop("entity_id")
+    val (wa, wb) = Scoring.idfWeightsTwoSided(spark, a, b)
+    assert(wa.nonEmpty && wb.nonEmpty)
+    // disjoint corpora → different df tables (some token differs in weight)
+    assert(wa != wb)
+    // weights are 1/sqrt(df): bounded by (0, 1]
+    assert((wa.values ++ wb.values).forall(w => w > 0.0 && w <= 1.0))
+  }
+
   test("detokenize: idx→word roundtrip over the broadcast vocabulary") {
     val words = Fixture.vocab.take(6).toSeq
     val ids = words.map(w => Fixture.vocabIndex(w))
