@@ -255,7 +255,13 @@ object Oracles {
     // full SQL replay of the SRP-LSH ANN path: identical md5-derived
     // hyperplanes (Similarity.srpPlaneComponent), buckets, hamming-1
     // multiprobe over 3 tables, exact cosine re-rank — not an approximation
-    // of the Spark result but the same algorithm in the other engine
+    // of the Spark result but the same algorithm in the other engine.
+    // ASSUMPTION (fp-order): bucket bits compare sign(Σ vᵢ·hᵢ); Spark sums
+    // sequentially while DuckDB's SUM may reorder, so a plane dot within
+    // ~1e-13 of 0 could flip a bit cross-engine. The testdata embeddings are
+    // iid uniform components (|dot| ~ 0.1-1 typical, P(|dot|<1e-12) ≈ 1e-12
+    // per (row, bit) — ~4e-8 across the corpus); if this ever fires, the
+    // fix is recall-vs-brute comparison, not bit replay (AnnSpec holds one).
     "q26_ann_lsh" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |planes AS (

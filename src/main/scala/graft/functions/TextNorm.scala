@@ -17,7 +17,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * names, the table `html.unescape` extends with HTML5-only additions).
   * Unknown entities pass through unchanged, exactly like html.unescape;
   * a trailing `;` is required (the reference's corpus never uses the
-  * browser-quirk semicolon-less form).
+  * browser-quirk semicolon-less form). Invalid/control numeric references
+  * follow html.unescape's HTML5 tables bit-for-bit: `&#0;`/surrogates/
+  * out-of-range → U+FFFD, 0x80–0x9F → windows-1252, the invalid-codepoint
+  * set (C0 controls, noncharacters) → deleted.
   *
   * Possessive rule (reference parity, conver_test.py:85
   * `x.replace("'s", " 's")`): apostrophe + LOWERCASE `s`, no word-boundary
@@ -62,13 +65,45 @@ object TextNorm {
     * bounded by 10 (&#x10FFFF;). Scan cap for the closing ';'. */
   private val MaxEntityLen = 12
 
+  /** Numeric references can carry arbitrarily many digits in html.unescape
+    * (huge values resolve to U+FFFD, not passthrough) — wider scan cap. */
+  private val MaxNumericLen = 34
+
+  /** Numeric-reference remap table, exactly Python's
+    * `html._invalid_charrefs` (the HTML5 windows-1252 compatibility table):
+    * `&#0;` → U+FFFD, `&#13;` → CR, and 0x80–0x9F → the windows-1252
+    * printables (e.g. `&#128;` → €, `&#146;` → ’). */
+  private val invalidCharrefs: java.util.HashMap[Integer, String] = {
+    val m = new java.util.HashMap[Integer, String](64)
+    m.put(0x00, "�")
+    m.put(0x0D, "\r")
+    val win1252 = Array(
+      0x20AC, 0x81, 0x201A, 0x192, 0x201E, 0x2026, 0x2020, 0x2021,
+      0x2C6, 0x2030, 0x160, 0x2039, 0x152, 0x8D, 0x17D, 0x8F,
+      0x90, 0x2018, 0x2019, 0x201C, 0x201D, 0x2022, 0x2013, 0x2014,
+      0x2DC, 0x2122, 0x161, 0x203A, 0x153, 0x9D, 0x17E, 0x178)
+    var i = 0
+    while (i < 32) { m.put(0x80 + i, new String(Character.toChars(win1252(i)))); i += 1 }
+    m
+  }
+
+  /** Python's `html._invalid_codepoints`: numeric references resolving here
+    * are DELETED (empty replacement). 0x80–0x9F never reach this test — the
+    * charref table above catches them first, as in html.unescape. */
+  private def isInvalidCodepoint(cp: Int): Boolean =
+    (cp >= 0x01 && cp <= 0x08) || cp == 0x0B || (cp >= 0x0E && cp <= 0x1F) ||
+      (cp >= 0x7F && cp <= 0x9F) || (cp >= 0xFDD0 && cp <= 0xFDEF) ||
+      (cp & 0xFFFE) == 0xFFFE
+
   /** Resolve the entity starting at s(i)=='&'. Returns the replacement
     * string and (via the 1-elem out param) the source chars consumed, or
     * null if this is not a well-formed known entity. */
   private def resolveEntity(s: String, i: Int, n: Int, consumedOut: Array[Int]): String = {
     var semi = -1
     var j = i + 1
-    val cap = math.min(n, i + MaxEntityLen + 2)
+    val numeric = j < n && s.charAt(j) == '#'
+    val maxLen = if (numeric) MaxNumericLen else MaxEntityLen
+    val cap = math.min(n, i + maxLen + 2)
     while (j < cap && semi < 0) {
       val c = s.charAt(j)
       if (c == ';') semi = j
@@ -79,7 +114,10 @@ object TextNorm {
     val body = s.substring(i + 1, semi)
     consumedOut(0) = semi - i + 1
     if (body.charAt(0) == '#') {
-      // numeric reference: &#NNNN; or &#xHHHH; / &#XHHHH;
+      // numeric reference: &#NNNN; or &#xHHHH; / &#XHHHH;. Resolution follows
+      // html.unescape exactly: windows-1252 remap table first, then
+      // surrogates / out-of-range → U+FFFD, then the HTML5 invalid-codepoint
+      // set → deleted, else the code point itself.
       if (body.length < 2) return null
       val hex = body.charAt(1) == 'x' || body.charAt(1) == 'X'
       val digits = if (hex) body.substring(2) else body.substring(1)
@@ -88,14 +126,16 @@ object TextNorm {
       var k = 0
       while (k < digits.length) {
         val d = Character.digit(digits.charAt(k), if (hex) 16 else 10)
-        if (d < 0) return null
+        if (d < 0) return null // non-digit chars: not a numeric ref at all
         cp = cp * (if (hex) 16 else 10) + d
-        if (cp > 0x10FFFF) return null
+        if (cp > 0x10FFFF) cp = 0x110000 // saturate: "too big" is all we need
         k += 1
       }
-      if (!Character.isValidCodePoint(cp) || Character.isSurrogate(cp.toChar) && cp <= 0xFFFF)
-        return null
-      new String(Character.toChars(cp))
+      val remapped = invalidCharrefs.get(cp)
+      if (remapped != null) remapped
+      else if ((cp >= 0xD800 && cp <= 0xDFFF) || cp > 0x10FFFF) "�"
+      else if (isInvalidCodepoint(cp)) ""
+      else new String(Character.toChars(cp))
     } else {
       namedEntities.get(body) // null when unknown → caller falls through
     }

@@ -38,22 +38,49 @@ object Ann {
     array((bucket +: (0 until nBits).map(i =>
       bucket.bitwiseXOR(lit(1 << i)))): _*)
 
+  private def bucketCol(t: Int, v: org.apache.spark.sql.Column, nBits: Int, seed: Long) =
+    GraftFunctions.srp_bucket(v, nBits, seed + 7919L * t)
+
+  /** Corpus entries exploded to one row per (table, bucket). */
+  private def corpusEntries(corpus: DataFrame, idCol: String, vecCol: String,
+                            nBits: Int, tables: Int, seed: Long): DataFrame =
+    corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), bucketCol(t, col(vecCol), nBits, seed).as("b"))): _*)).as("bucket"))
+
   /** LSH-bucketed ANN: corpus rows land in one bucket per hash table; each
     * query probes its bucket plus all hamming-1 neighbors in every table
     * (`tables` independent SRP codes — the standard L-tables LSH recall
-    * lever). Approximate — recall measured against [[bruteTopK]] in tests. */
+    * lever). Approximate — recall measured against [[bruteTopK]] in tests.
+    *
+    * `bucketCap` bounds corpus rows per (table, bucket): embeddings cluster
+    * at web scale, and a dense corpus bucket crossed with ~(nBits+1) probe
+    * rows per query otherwise concentrates in a handful of join tasks.
+    * Oversized cells keep a deterministic hash-sampled ~cap subset (each of
+    * the `tables` codes samples independently, so a row dropped from one
+    * table's cell usually survives the others); drops are counted via
+    * [[srpBucketStats]], never silent. 0 disables. */
   def srpTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              k: Int, nBits: Int = 8, tables: Int = 3, seed: Long = 42L): DataFrame = {
-    def bucketCol(t: Int, v: org.apache.spark.sql.Column) =
-      GraftFunctions.srp_bucket(v, nBits, seed + 7919L * t)
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"), bucketCol(t, col(vecCol)).as("b"))): _*)).as("bucket"))
+              k: Int, nBits: Int = 8, tables: Int = 3, seed: Long = 42L,
+              bucketCap: Int = 4096): DataFrame = {
+    val c = corpusEntries(corpus, idCol, vecCol, nBits, tables, seed)
+    // cap via partial-agg sizes + equi-join-back + hash filter (the blocking
+    // pattern): no per-bucket sort, no window — nothing re-concentrates the
+    // hot cell while bounding it
+    val capped =
+      if (bucketCap <= 0) c
+      else {
+        val sizes = c.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
+        c.join(sizes, "bucket")
+          .where(col("bucket_n") <= bucketCap ||
+            pmod(xxhash64(col("corpus_id"), lit(seed)), col("bucket_n")) < bucketCap)
+          .drop("bucket_n")
+      }
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       explode(flatten(array((0 until tables).map(t =>
-        transform(probes(bucketCol(t, col(vecCol)), nBits),
+        transform(probes(bucketCol(t, col(vecCol), nBits, seed), nBits),
           b => struct(lit(t).as("t"), b.as("b")))): _*))).as("bucket"))
-    val scored = c.join(q, Seq("bucket"))
+    val scored = capped.join(q, Seq("bucket"))
       .where(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
         GraftFunctions.cosine_sim(col("qv"), col("cv")).as("cosine"))
@@ -62,5 +89,32 @@ object Ann {
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
+  }
+
+  /** Corpus-side bucket-occupancy lineage for [[srpTopK]] (the
+    * Blocking.blockStats pattern): cells built, hottest cell, and the entries
+    * the cap drops — so capped recall loss is observable, never silent. */
+  def srpBucketStats(corpus: DataFrame, idCol: String, vecCol: String,
+                     nBits: Int = 8, tables: Int = 3, seed: Long = 42L,
+                     bucketCap: Int = 4096): Map[String, Long] = {
+    val c = corpusEntries(corpus, idCol, vecCol, nBits, tables, seed)
+    val kept = pmod(xxhash64(col("corpus_id"), lit(seed)), col("bucket_n")) < bucketCap
+    val row = c.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
+      .agg(
+        count(lit(1)).as("buckets_built"),
+        max(col("bucket_n")).as("max_bucket_size"))
+      .collect()(0)
+    val dropped =
+      if (bucketCap <= 0) 0L
+      else {
+        val sizes = c.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
+        c.join(sizes, "bucket")
+          .where(col("bucket_n") > bucketCap && !kept)
+          .count()
+      }
+    Map(
+      "buckets_built" -> row.getLong(0),
+      "max_bucket_size" -> row.getLong(1),
+      "entries_dropped" -> dropped)
   }
 }

@@ -98,8 +98,12 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[String], n: Int, tau: Double,
                         cap: Int = 256, maxBlock: Int = 0): DataFrame = {
+    // empty blockCols = the unblocked (all-pairs) mode: one constant block —
+    // still salted, so the task-size bound holds even without a blocking key
+    val blockKey =
+      if (blockCols.nonEmpty) xxhash64(blockCols.map(col): _*) else lit(0L)
     val entries = df.select(
-      xxhash64(blockCols.map(col): _*).as("block_key"),
+      blockKey.as("block_key"),
       col(idCol).as("id"),
       tokenNgrams(col(textCol), n).as("grams"))
     val sz1 = size(col("grams_1")).cast("double")
@@ -187,18 +191,38 @@ object Dedup {
 
   /** Embedding near-duplicate pairs: SRP-LSH bucket join (scale path — a
     * bucketed shuffle instead of an all-pairs cross join), exact-cosine
-    * verified. `nBits = 0` degrades to brute force (testing / tiny inputs). */
+    * verified. `nBits = 0` degrades to brute force (testing / tiny inputs).
+    *
+    * The bucket self-join routes through [[Blocking.saltedSelfJoinPairs]]
+    * like every other pair generator: web-scale embeddings CLUSTER (that is
+    * the point of embedding them), so a dense SRP bucket is guaranteed at
+    * 10^9 rows and a plain `bucket === bucket` join would hand one task
+    * ~n²/2 pairs. Candidates carry only 8-byte ids through the salted join;
+    * vectors join in once per side for the exact-cosine verification
+    * (the minhash/ngram pattern — replication under salting stays 8 bytes
+    * per copy instead of the full vector). */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-                       tau: Double, nBits: Int = 12, seed: Long = 42L): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val bucketed =
-      if (nBits <= 0) base.withColumn("bucket", lit(0))
-      else base.withColumn("bucket", GraftFunctions.srp_bucket(col("v"), nBits, seed))
-    val l = bucketed.as("l"); val r = bucketed.as("r")
-    l.join(r, col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id1"), col("r.id").as("id2"),
-        GraftFunctions.cosine_sim(col("l.v"), col("r.v")).as("cosine"))
+                       tau: Double, nBits: Int = 12, seed: Long = 42L,
+                       cap: Int = 256, maxBlock: Int = 0): DataFrame = {
+    val cands = Blocking.saltedSelfJoinPairs(
+      embeddingEntries(df, idCol, vecCol, nBits, seed), cap, maxBlock)
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    cands
+      .join(vecs.select(col("id").as("id1"), col("v").as("v1")), "id1")
+      .join(vecs.select(col("id").as("id2"), col("v").as("v2")), "id2")
+      .select(col("id1"), col("id2"),
+        GraftFunctions.cosine_sim(col("v1"), col("v2")).as("cosine"))
       .where(col("cosine") >= tau)
       .dropDuplicates("id1", "id2")
+  }
+
+  /** The (block_key = SRP bucket, id) entry table behind [[embeddingNearDup]]
+    * — exposed so the planted-dense-bucket bound test can assert the per-task
+    * row bound the triangle salting guarantees. */
+  private[graft] def embeddingEntries(df: DataFrame, idCol: String, vecCol: String,
+                                      nBits: Int, seed: Long): DataFrame = {
+    val bucket =
+      if (nBits <= 0) lit(0) else GraftFunctions.srp_bucket(col(vecCol), nBits, seed)
+    df.select(bucket.as("block_key"), col(idCol).as("id"))
   }
 }

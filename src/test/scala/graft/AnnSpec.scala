@@ -36,6 +36,26 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.3, f"recall $recall%.3f too low")
   }
 
+  test("SRP-LSH bucket cap bounds a planted dense bucket, drops counted") {
+    val n = 500
+    val cap = 50
+    // identical-direction corpus: one dense (table, bucket) cell per table
+    val dense = (0 until n).map(i => (i.toLong, Array.tabulate(8)(j => (j + 1).toFloat)))
+    val corpus = dense.toDF("vec_id", "v")
+    val queries = dense.take(3).toDF("vec_id", "v")
+    val stats = Ann.srpBucketStats(corpus, "vec_id", "v",
+      nBits = 8, tables = 3, seed = 42L, bucketCap = cap)
+    assert(stats("max_bucket_size") == n.toLong) // the hot cell is real...
+    assert(stats("entries_dropped") > 0) // ...and the cap visibly drops
+    // hash sampling keeps ~cap per cell (allow variance, never ~n)
+    val kept = 3L * n - stats("entries_dropped")
+    assert(kept <= 3L * 3 * cap, s"kept $kept of ${3 * n} (cap=$cap)")
+    // the operator still returns k rows per query out of the sampled cell
+    val topk = Ann.srpTopK(corpus, queries, "vec_id", "v", k = 5,
+      nBits = 8, tables = 3, bucketCap = cap)
+    assert(topk.groupBy("query_id").count().where($"count" =!= 5).count() == 0)
+  }
+
   test("SRP-LSH scans far fewer candidates than brute force") {
     // bucket histogram: no bucket should hold a large fraction of the corpus
     val bucketed = emb.select(

@@ -49,6 +49,20 @@ class NormalizeSpec extends SparkSpec {
     assert(norm("&amp;amp;") == "& amp ;")
   }
 
+  test("golden: invalid/control numeric refs follow html.unescape's tables") {
+    assert(norm("a&#0;b") == "a�b") // NUL → U+FFFD, not a raw NUL
+    assert(norm("x&#128;y") == "x€y") // windows-1252 remap
+    assert(norm("&#146;s") == "’s") // ’ is not ASCII "'": possessive must NOT fire
+    assert(norm("q&#x81;w") == "q\u0081w") // 0x81 maps to itself
+    assert(norm("a&#1;b") == "ab") // C0 control → deleted
+    assert(norm("a&#11;b") == "ab") // VT → deleted
+    assert(norm("a&#13;b") == "a b") // CR → real CR → whitespace collapse
+    assert(norm("a&#xD800;b") == "a�b") // lone surrogate → U+FFFD
+    assert(norm("a&#1114112;b") == "a�b") // > 0x10FFFF → U+FFFD
+    assert(norm("a&#99999999999999;b") == "a�b") // arbitrarily large too
+    assert(norm("a&#x1FFFF;b") == "ab") // noncharacter → deleted
+  }
+
   test("idempotence: normalizing twice equals once") {
     val samples = Seq("Hello, World!", "a&amp;b (c)", "John's  dog&#39;s", "x.y.z;q",
       "price $1,234.56 usd", "ALL CAPS!!!")

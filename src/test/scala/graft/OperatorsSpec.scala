@@ -108,6 +108,34 @@ class OperatorsSpec extends SparkSpec {
     assert(dropped.count() == 0)
   }
 
+  test("embedding near-dup: dense SRP bucket is salted (bounded per-task rows)") {
+    val n = 600
+    val cap = 64
+    // identical-direction vectors: every row lands in the SAME SRP bucket —
+    // the guaranteed-at-web-scale dense-cluster case
+    val df = (0 until n).map(i => (i.toLong, Array.tabulate(8)(j => (j + 1).toFloat)))
+      .toDF("id", "v")
+    val entries = Dedup.embeddingEntries(df, "id", "v", nBits = 8, seed = 42L)
+    val maxBucket = graft.blocking.Blocking.saltedBuckets(entries, cap, maxBlock = 0)
+      .groupBy("block_key", "bucket").count()
+      .agg(max("count")).as[Long].collect()(0)
+    assert(maxBucket <= 3L * cap, s"dense bucket co-joins $maxBucket rows (cap=$cap)")
+    // and full pair coverage survives the salting (identical vectors: cos=1)
+    val pairs = Dedup.embeddingNearDup(df, "id", "v", tau = 0.99, nBits = 8, cap = cap)
+    assert(pairs.count() == n.toLong * (n - 1) / 2)
+  }
+
+  test("ngram jaccard: empty blockCols = all-pairs mode, still salted") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "entirely unrelated words about query planning")
+    ).toDF("id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "id", "text", Nil, n = 1, tau = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("embedding near-dup: brute and LSH-bucketed agree on high-sim pairs") {
     val vecs = (0 until 60).map { i =>
       val base = Array.tabulate(16)(j => math.sin(i * 0.7 + j).toFloat)
