@@ -41,15 +41,17 @@ object Oracles {
     val ltoks = """str_split_regex(lower(text), '\s+')"""
     val stops = s"len(list_filter($ltoks, t -> list_contains(['the','a','of','and','or'], t)))"
     val sumlen = s"list_aggregate(list_transform($toks, t -> length(t)), 'sum')"
+    val digitRuns = """(len(str_split_regex(text, '[0-9]+')) - 1)"""
     s"""WITH raw AS (
        |  SELECT doc_id,
        |    CAST(len($toks) AS BIGINT) AS n_tokens,
+       |    CAST(len($toks) + $digitRuns + $punct AS BIGINT) AS n_subwords,
        |    CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST($punct AS DOUBLE) / length(text) END AS punct_raw,
        |    CASE WHEN len($ltoks) = 0 THEN 0.0 ELSE CAST($stops AS DOUBLE) / len($ltoks) END AS stop_raw,
        |    CASE WHEN len($toks) = 0 THEN 0.0 ELSE CAST($sumlen AS DOUBLE) / len($toks) END AS avglen_raw
        |  FROM documents
        |)
-       |SELECT doc_id, n_tokens,
+       |SELECT doc_id, n_tokens, n_subwords,
        |  ROUND(punct_raw, 6) AS punct_ratio,
        |  ROUND(stop_raw, 6) AS stopword_ratio,
        |  ROUND(avglen_raw, 6) AS avg_token_len,

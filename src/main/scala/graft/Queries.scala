@@ -301,6 +301,7 @@ object Queries {
     t(s, dir, "documents")
       .select(col("doc_id"),
         TextStats.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextStats.subwordCount(col("text")).cast("long").as("n_subwords"),
         round(TextStats.punctRatio(col("text")), 6).as("punct_ratio"),
         round(TextStats.stopwordRatio(col("text")), 6).as("stopword_ratio"),
         round(TextStats.avgTokenLen(col("text")), 6).as("avg_token_len"),

@@ -27,9 +27,10 @@ case class CandidatePair(url1: String, url2: String)
 /** Per-page scoring attributes, computed once (not per pair). `id` is the
   * 64-bit page id (xxhash64(url)); `vec` is the composed frozen-embedding
   * vector (reference composition 'average', Deeper.py:233-236, via broadcast
-  * lookup). */
+  * lookup). `price_isna` is the P7 missingness indicator the scorer uses to
+  * gate the numeric similarities (Deeper.py:139-149). */
 case class ScoreAttrs(id: Long, url: String, title: String, prefix: String,
-                      price: Double, vec: Array[Float])
+                      price: Double, price_isna: Int, vec: Array[Float])
 
 /** Scored candidate pair (FIXTURES.md §5 scored_pairs shape, plus the
   * numeric pair ids that downstream clustering shuffles instead of urls).

@@ -78,6 +78,19 @@ object Normalize {
     when(cleaned.rlike("^[0-9]+(\\.[0-9]+)?$"), cleaned.cast("double")).otherwise(lit(0.0))
   }
 
+  /** P7 missingness indicator for [[price]]: 1 when no parseable price field
+    * exists (the 0.0 the sentinel cast produces is otherwise
+    * indistinguishable from data). The reference feeds exactly such *_isna
+    * indicators to its classifier (Deeper.py:139-149, num_nan_val=0 at
+    * train_deeper.py:226); the scorer uses it to zero the numeric
+    * similarities instead of letting two sentinel zeros score exp(0) = 1 —
+    * a fake perfect match between two UNPRICED records. */
+  def priceIsna(c: Column): Column = {
+    val raw = regexp_extract(c, "(?i)price[^0-9]{0,4}([0-9][0-9,.]*)", 1)
+    val cleaned = regexp_replace(raw, "[^0-9.]", "")
+    when(cleaned.rlike("^[0-9]+(\\.[0-9]+)?$"), 0).otherwise(1)
+  }
+
   /** Per-row invariant: sha256 hex of the raw text. */
   def textSha(c: Column): Column = sha2(c, 256)
 

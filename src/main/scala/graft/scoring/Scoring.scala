@@ -127,7 +127,8 @@ object Scoring {
       graft.blocking.Blocking.pageId.as("id"),
       col("url"),
       Normalize.normText(col("text")).as("norm"),
-      Normalize.price(col("text")).as("price"))
+      Normalize.price(col("text")).as("price"),
+      Normalize.priceIsna(col("text")).as("price_isna"))
 
   def attrs(spark: SparkSession, pages: DataFrame,
             composition: Composition = Average): Dataset[ScoreAttrs] =
@@ -143,13 +144,13 @@ object Scoring {
       case Idf => idfWeightsFromNorm(spark, projected)
       case Average => Map.empty[Int, Double]
     })
-    projected.as[(Long, String, String, Double)].mapPartitions { it =>
+    projected.as[(Long, String, String, Double, Int)].mapPartitions { it =>
       val vocab = bcVocab.value
       val emb = bcEmb.value
       val idf = bcIdf.value
       val useIdf = idf.nonEmpty
       val dim = emb(0).length
-      it.map { case (id, url, norm, price) =>
+      it.map { case (id, url, norm, price, priceIsna) =>
         val acc = new Array[Float](dim)
         var wSum = 0.0
         var found = 0
@@ -193,7 +194,7 @@ object Scoring {
         }
         val title = if (titleEnd < 0) norm else norm.substring(0, titleEnd)
         val prefix = if (norm.length <= LevCap) norm else norm.substring(0, LevCap)
-        ScoreAttrs(id, url, title, prefix, price, acc)
+        ScoreAttrs(id, url, title, prefix, price, priceIsna, acc)
       }
     }
   }
@@ -235,7 +236,14 @@ object Scoring {
     import spark.implicits._
     import graft.functions.GraftFunctions._
     val a = attrs.toDF()
-    val slim = a.select(col("id"), col("price"), col("vec"))
+    val slim = a.select(col("id"), col("price"), col("price_isna"), col("vec"))
+
+    // missingness gate (Deeper.py:139-149 isna indicators): when either side
+    // lacks a price, both numeric features are 0 — two sentinel-0 prices
+    // would otherwise score scaled_inverse_lp(0,0) = exp(0) = 1, a fake
+    // perfect match between two UNPRICED records
+    val bothPriced =
+      ((lit(1) - col("a.price_isna")) * (lit(1) - col("b.price_isna"))).cast("double")
 
     // phase 1: embedding + numeric features over every candidate (all
     // single-pass codegen kernels over data already in the slim join)
@@ -245,8 +253,8 @@ object Scoring {
       .select(col("id1"), col("id2"),
         cosine_sim(col("a.vec"), col("b.vec")).as("cosine"),
         inverse_l1(col("a.vec"), col("b.vec")).as("inv_l1"),
-        scaled_inverse_lp(col("a.price"), col("b.price")).as("num_sim"),
-        min_max_ratio(col("a.price"), col("b.price")).as("mmr"))
+        (bothPriced * scaled_inverse_lp(col("a.price"), col("b.price"))).as("num_sim"),
+        (bothPriced * min_max_ratio(col("a.price"), col("b.price"))).as("mmr"))
     // lineage: "pairs scored" = candidates evaluated by phase 1 (observe
     // metric — rides whichever action consumes this plan, zero extra jobs)
     val phase1Score = lit(w.cos) * col("cosine") + lit(w.l1) * col("inv_l1") +

@@ -161,6 +161,13 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq("en", "de", "es", "und"))
   }
 
+  test("subword count: words + digit runs + punctuation marks") {
+    // "ab 12cd!" → 2 words + 1 digit run + 1 punct = 4
+    val got = Seq("ab 12cd!", "plain words only", "v2.0 x9")
+      .toDF("text").select(TextStats.subwordCount($"text")).as[Int].collect().toSeq
+    assert(got == Seq(4, 3, 2 + 3 + 1)) // "v2.0 x9": 2 words + 3 digit runs + '.'
+  }
+
   test("quality score: longer clean prose beats short punct-heavy text") {
     val good = ("the quick brown fox and the lazy dog " * 3).trim
     val bad = "!!! ??? ### $$$ %%%"

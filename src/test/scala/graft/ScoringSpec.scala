@@ -109,6 +109,31 @@ class ScoringSpec extends SparkSpec {
     assert(got(2L) == " " + words.head) // id 0 = padding/unknown → empty token
   }
 
+  test("price_isna gates numeric sims: unpriced pairs never fake exp(0)=1") {
+    val words = Fixture.vocab.take(40).mkString(" ")
+    val corpus = Seq(
+      ("https://x.com/a", s"$words. price $$10.00"),
+      ("https://x.com/b", s"$words. price $$10.00"),
+      ("https://x.com/c", s"$words no numbers here"), // missing price → isna
+      ("https://x.com/d", s"$words also unpriced")
+    ).toDF("url", "text")
+    val attrs = Scoring.attrs(spark, corpus)
+    assert(attrs.where($"url" === "https://x.com/c").collect()(0).price_isna == 1)
+    assert(attrs.where($"url" === "https://x.com/a").collect()(0).price_isna == 0)
+    def pair(u1: String, u2: String) = Seq((u1, u2)).toDF("u1", "u2")
+      .select(xxhash64(least($"u1", $"u2")).as("id1"), xxhash64(greatest($"u1", $"u2")).as("id2"))
+    val w = Scoring.Weights(threshold = 1e-12) // disarm gate: observe raw features
+    // both unpriced: gated to 0, NOT exp(0) = 1
+    val cd = Scoring.score(spark, pair("https://x.com/c", "https://x.com/d"), attrs, w).collect()(0)
+    assert(cd.num_sim == 0.0 && cd.mmr == 0.0)
+    // one side unpriced: still gated
+    val ac = Scoring.score(spark, pair("https://x.com/a", "https://x.com/c"), attrs, w).collect()(0)
+    assert(ac.num_sim == 0.0 && ac.mmr == 0.0)
+    // both priced & equal: num_sim = exp(0) = 1 as before
+    val ab = Scoring.score(spark, pair("https://x.com/a", "https://x.com/b"), attrs, w).collect()(0)
+    assert(math.abs(ab.num_sim - 1.0) < 1e-9)
+  }
+
   test("numeric sims wired with reference semantics into score") {
     // identical price across dup copies → num_sim = exp(0) = 1 for positives
     val attrs = Scoring.attrs(spark, pages)
