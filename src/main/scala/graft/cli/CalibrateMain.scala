@@ -47,6 +47,10 @@ object CalibrateMain {
       round(max("inv_l1"), 4).as("l1_max"),
       round(avg("num_sim"), 4).as("num_avg"), round(min("num_sim"), 4).as("num_min"),
       round(avg("mmr"), 4).as("mmr_avg"), round(min("mmr"), 4).as("mmr_min"),
+      round(avg("img_cos"), 4).as("icos_avg"), round(min("img_cos"), 4).as("icos_min"),
+      round(max("img_cos"), 4).as("icos_max"),
+      round(avg("img_l1"), 4).as("il1_avg"), round(max("img_l1"), 4).as("il1_max"),
+      round(avg("img_l2"), 4).as("il2_avg"), round(max("img_l2"), 4).as("il2_max"),
       round(avg("score"), 4).as("score_avg"), round(min("score"), 4).as("score_min"),
       round(max("score"), 4).as("score_max")
     ).orderBy("label").show(false)

@@ -30,17 +30,22 @@ case class CandidatePair(url1: String, url2: String)
   * lookup). `price_isna` is the P7 missingness indicator the scorer uses to
   * gate the numeric similarities (Deeper.py:139-149). */
 case class ScoreAttrs(id: Long, url: String, title: String, prefix: String,
-                      price: Double, price_isna: Int, vec: Array[Float])
+                      price: Double, price_isna: Int, vec: Array[Float],
+                      img: Array[Float])
 
 /** Scored candidate pair (FIXTURES.md §5 scored_pairs shape, plus the
   * numeric pair ids that downstream clustering shuffles instead of urls).
   * Feature family per the reference: jw/lev string sims (north-star), cosine
   * + inverse-L1 over composed embeddings (Deeper.py:296-305), scaled-inverse
-  * + min-max-ratio numeric sims on price (Deeper.py:327-343). */
+  * + min-max-ratio numeric sims on price (Deeper.py:327-343), cosine +
+  * inverse-L1 + inverse-L2 over pooled media vectors (the image-augmented
+  * head, deeper_models.py:632-655; zero when either side lacks media). */
 case class ScoredPair(id1: Long, id2: Long, url1: String, url2: String,
                       jaro_winkler: Double, levenshtein_sim: Double,
                       cosine: Double, inv_l1: Double,
-                      num_sim: Double, mmr: Double, score: Double)
+                      num_sim: Double, mmr: Double,
+                      img_cos: Double, img_l1: Double, img_l2: Double,
+                      score: Double)
 
 case class Edge(src: String, dst: String)
 

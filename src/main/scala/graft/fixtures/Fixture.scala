@@ -138,6 +138,20 @@ object Fixture {
 
   private val BaseEpochMs = 1690000000000L
 
+  /** Bytes of the planted per-entity "product photo" (embedded in html as a
+    * base64 data URI). Canonical per entity; duplicate copies re-encode with
+    * ~2% byte noise — so pooled features (Multimodal.imageVecFromHtml)
+    * correlate strongly within an entity and are near-orthogonal across
+    * entities: the fixture analog of the reference's per-item image set
+    * (imagess/dir_image.py). */
+  val ImgBytes = 1024
+  private def entityImage(entityId: Long): Array[Byte] = {
+    val r = new Random(mix(Seed, entityId * 7340033L + 5))
+    val b = new Array[Byte](ImgBytes)
+    r.nextBytes(b)
+    b
+  }
+
   /** n pages with planted ground truth, generated distributedly. */
   def pagesWithTruth(spark: SparkSession, n: Long, numPartitions: Int = 0): Dataset[PageTruth] = {
     import spark.implicits._
@@ -155,7 +169,17 @@ object Fixture {
                    else zipfIdx(dr, NumDomains) // re-hosted on a different (random) domain
       val url = s"https://${domains(domIdx)}/e$entityId/c$copyIdx"
       val ts = new Timestamp(BaseEpochMs + docId * 1000L)
-      val html = ("<html><body>" + text + "</body></html>")
+      val img = entityImage(entityId)
+      if (copyIdx > 0) { // re-encoded copy: ~2% of bytes perturbed
+        var k = 0
+        while (k < img.length) {
+          if (dr.nextDouble() < 0.02) img(k) = dr.nextInt(256).toByte
+          k += 1
+        }
+      }
+      val imgB64 = java.util.Base64.getEncoder.encodeToString(img)
+      val html = ("<html><body>" + text +
+        "<img src=\"data:image/fake;base64," + imgB64 + "\"></body></html>")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val lang = if (entityId % 37 == 0) "ru" else "en"
       PageTruth(url, ts, html, text, lang, entityId)

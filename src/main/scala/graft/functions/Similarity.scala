@@ -236,6 +236,33 @@ object Similarity {
     math.exp(-math.sqrt(s))
   }
 
+  /** Block-average pooling of a byte payload into `dim` centered floats
+    * (chunk mean / 255 − 0.5, so unrelated payloads are near-orthogonal) —
+    * the locality-preserving image featurizer behind avg_pool_embed: nearby
+    * payloads (a re-encoded copy of the same product photo) pool to nearby
+    * vectors, the property the ER scorer's image similarities need and a
+    * plain content hash destroys. Empty payload → empty array (no media). */
+  def avgPool(bytes: Array[Byte], dim: Int): ArrayData = {
+    val n = bytes.length
+    if (n == 0) return new GenericArrayData(new Array[Float](0))
+    val sums = new Array[Double](dim)
+    val counts = new Array[Int](dim)
+    var i = 0
+    while (i < n) {
+      val b = (i.toLong * dim / n).toInt
+      sums(b) += (bytes(i) & 0xFF)
+      counts(b) += 1
+      i += 1
+    }
+    val out = new Array[Float](dim)
+    var j = 0
+    while (j < dim) {
+      out(j) = if (counts(j) == 0) 0f else (sums(j) / counts(j) / 255.0 - 0.5).toFloat
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def dot(a: Array[Float], b: Array[Float]): Double = {
     val n = math.min(a.length, b.length)
     var s = 0.0; var i = 0

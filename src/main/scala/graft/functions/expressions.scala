@@ -143,6 +143,23 @@ case class InverseLpExpr(left: Expression, right: Expression, p: Int)
     copy(left = l, right = r)
 }
 
+/** avg_pool_embed(binary, dim) -> array<float>: block-average pooling of a
+  * byte payload into a centered fixed-dim vector — the deterministic,
+  * locality-preserving feature extractor for media columns (the offline
+  * CNN's .npy features in the reference, imagess/dir_image.py:94-152, play
+  * this role; a real deployment swaps the kernel, the Spark plumbing is
+  * identical). Empty input → empty array. */
+case class AvgPoolExpr(child: Expression, dim: Int) extends UnaryExpression {
+  require(dim > 0, "avg_pool_embed needs dim > 0")
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    Similarity.avgPool(v.asInstanceOf[Array[Byte]], dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Similarity.avgPool($c, $dim)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** srp_bucket(array<float>) -> int: sign-random-projection LSH bucket for
   * embedding vectors (ANN / near-dup blocking at scale). */
 case class SrpBucketExpr(child: Expression, nBits: Int, seed: Long) extends UnaryExpression {
@@ -173,6 +190,7 @@ object GraftFunctions {
     col(MinHashBandsExpr(ex(c), bands, rows, seed, tokenShingles = true))
   def simhash64(c: Column, seed: Long = 0L): Column = col(SimHash64Expr(ex(c), seed))
   def srp_bucket(c: Column, nBits: Int, seed: Long): Column = col(SrpBucketExpr(ex(c), nBits, seed))
+  def avg_pool_embed(c: Column, dim: Int): Column = col(AvgPoolExpr(ex(c), dim))
 
   /** Numeric similarity family, exactly the reference's formulas
     * (Deeper.py:327-343) — pure Column expressions, fully codegen'd. */

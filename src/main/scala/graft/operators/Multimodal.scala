@@ -18,6 +18,25 @@ object Multimodal {
                       width: Int, height: Int)
   case class MediaFeatures(id: Long, dim: Int, features: Array[Float])
 
+  /** First base64 data-URI image payload embedded in an html byte column
+    * (the web-native media carrier) as decoded bytes; empty binary when the
+    * page embeds no image. Pure codegen expression chain — no UDF. */
+  def dataUriPayload(html: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    unbase64(regexp_extract(decode(html, "UTF-8"),
+      "data:image/[a-zA-Z]+;base64,([A-Za-z0-9+/=]+)", 1))
+
+  /** html → pooled image feature vector for the ER scorer (M9): extract the
+    * embedded image, block-average-pool it to `dim` centered floats
+    * (graft.functions.Similarity.avgPool). The reference feeds precomputed
+    * per-image CNN features through the same dense head as text features
+    * (deeper_models.py:603-655, projection :627-630); this is that column,
+    * with the CNN replaced by the deterministic pooling featurizer (no
+    * image runtime ships offline — kernel swap is one line in a real
+    * deployment, the plumbing and fusion are the product). Empty array when
+    * the page has no image (the scorer zero-gates image features on it). */
+  def imageVecFromHtml(html: org.apache.spark.sql.Column, dim: Int = 32): org.apache.spark.sql.Column =
+    graft.functions.GraftFunctions.avg_pool_embed(dataUriPayload(html), dim)
+
   /** Attach a media column derived from text bytes (fixture-side helper:
     * stands in for reading real image bytes from the lake). */
   def withFakeMedia(df: DataFrame, idCol: String, textCol: String): DataFrame =

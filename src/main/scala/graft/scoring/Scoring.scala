@@ -29,7 +29,13 @@ object Scoring {
     * The full Deeper feature family the frozen scorer uses: two string sims
     * (jw, lev), two embedding sims (cos, l1 — reference history shows
     * baseline+inverse_l1 beats cosine-only, history_baselineinverse_l1.map),
-    * two numeric sims on price (num = scaled inverse, mmr = min/max ratio). */
+    * two numeric sims on price (num = scaled inverse, mmr = min/max ratio),
+    * and the image-similarity triple over the pooled media vector — cosine,
+    * inverse-L1, inverse-L2, EXACTLY the sims the reference's image-augmented
+    * matcher feeds into the same dense head as the text features
+    * (deeper_models.py:603-655, config train_deeper.py:242-268). Image
+    * features are 0 when either side lacks media, so text-only corpora score
+    * as before modulo the bias. */
   case class Weights(
       jw: Double = 2.5,
       lev: Double = 2.5,
@@ -37,11 +43,16 @@ object Scoring {
       l1: Double = 1.5,
       num: Double = 1.0,
       mmr: Double = 1.0,
-      bias: Double = -9.0,
+      imgCos: Double = 2.0,
+      imgL1: Double = 1.0,
+      imgL2: Double = 1.0,
+      bias: Double = -11.0,
       threshold: Double = 0.5)
 
   val LevCap = 128 // chars of normalized prefix entering edit distance (cost control)
   val TitleTokens = 8
+  /** Pooled media vector width (Multimodal.imageVecFromHtml). */
+  val ImgDim = 32
 
   /** Embedding composition — the reference's two shipped modes
     * (Deeper.py:233-275): plain token-vector mean, or IDF-weighted mean with
@@ -122,13 +133,23 @@ object Scoring {
     * [[attrsFromProjected]] and `Blocking.blockTableFromProjected` consume
     * this frame, so the normText kernel — the single most expensive per-byte
     * op in the pipeline — runs ONCE per page, not once per consumer. */
-  def projected(pages: DataFrame): DataFrame =
+  def projected(pages: DataFrame): DataFrame = {
+    // media features pool ONCE here (the html never travels further); pages
+    // without an html column (text-only corpora) carry the empty vector and
+    // the scorer zero-gates the image features
+    val img =
+      if (pages.columns.contains("html"))
+        coalesce(graft.operators.Multimodal.imageVecFromHtml(col("html"), ImgDim),
+          array().cast("array<float>"))
+      else array().cast("array<float>")
     pages.select(
       graft.blocking.Blocking.pageId.as("id"),
       col("url"),
       Normalize.normText(col("text")).as("norm"),
       Normalize.price(col("text")).as("price"),
-      Normalize.priceIsna(col("text")).as("price_isna"))
+      Normalize.priceIsna(col("text")).as("price_isna"),
+      img.as("img"))
+  }
 
   def attrs(spark: SparkSession, pages: DataFrame,
             composition: Composition = Average): Dataset[ScoreAttrs] =
@@ -144,13 +165,13 @@ object Scoring {
       case Idf => idfWeightsFromNorm(spark, projected)
       case Average => Map.empty[Int, Double]
     })
-    projected.as[(Long, String, String, Double, Int)].mapPartitions { it =>
+    projected.as[(Long, String, String, Double, Int, Array[Float])].mapPartitions { it =>
       val vocab = bcVocab.value
       val emb = bcEmb.value
       val idf = bcIdf.value
       val useIdf = idf.nonEmpty
       val dim = emb(0).length
-      it.map { case (id, url, norm, price, priceIsna) =>
+      it.map { case (id, url, norm, price, priceIsna, img) =>
         val acc = new Array[Float](dim)
         var wSum = 0.0
         var found = 0
@@ -194,15 +215,15 @@ object Scoring {
         }
         val title = if (titleEnd < 0) norm else norm.substring(0, titleEnd)
         val prefix = if (norm.length <= LevCap) norm else norm.substring(0, LevCap)
-        ScoreAttrs(id, url, title, prefix, price, priceIsna, acc)
+        ScoreAttrs(id, url, title, prefix, price, priceIsna, acc, img)
       }
     }
   }
 
   /** Exact phase-1 admission bound for the cascade: phase 1 computes the
-    * embedding and numeric features (cos, l1, num, mmr) EXACTLY; the phase-2
-    * string features (jw, lev) are bounded by 1. So any pair that can reach
-    * `threshold` satisfies
+    * embedding, numeric, and image features (cos, l1, num, mmr, img_*)
+    * EXACTLY; the phase-2 string features (jw, lev) are bounded by 1. So any
+    * pair that can reach `threshold` satisfies
     *   w_cos·cos + w_l1·l1 + w_num·num + w_mmr·mmr
     *     ≥ logit(θ) − w_jw − w_lev − bias.
     * Rejecting below this bound loses ZERO recall by construction, and the
@@ -236,7 +257,7 @@ object Scoring {
     import spark.implicits._
     import graft.functions.GraftFunctions._
     val a = attrs.toDF()
-    val slim = a.select(col("id"), col("price"), col("price_isna"), col("vec"))
+    val slim = a.select(col("id"), col("price"), col("price_isna"), col("vec"), col("img"))
 
     // missingness gate (Deeper.py:139-149 isna indicators): when either side
     // lacks a price, both numeric features are 0 — two sentinel-0 prices
@@ -244,9 +265,12 @@ object Scoring {
     // perfect match between two UNPRICED records
     val bothPriced =
       ((lit(1) - col("a.price_isna")) * (lit(1) - col("b.price_isna"))).cast("double")
+    // media gate, same principle: inverse-L1/L2 of two EMPTY vectors is
+    // exp(0) = 1 — image features exist only when both sides carry media
+    val bothImg = size(col("a.img")) > 0 && size(col("b.img")) > 0
 
-    // phase 1: embedding + numeric features over every candidate (all
-    // single-pass codegen kernels over data already in the slim join)
+    // phase 1: embedding + numeric + image features over every candidate
+    // (all single-pass codegen kernels over data already in the slim join)
     val stage1 = candidates.select("id1", "id2")
       .join(slim.as("a"), col("id1") === col("a.id"))
       .join(slim.as("b"), col("id2") === col("b.id"))
@@ -254,11 +278,16 @@ object Scoring {
         cosine_sim(col("a.vec"), col("b.vec")).as("cosine"),
         inverse_l1(col("a.vec"), col("b.vec")).as("inv_l1"),
         (bothPriced * scaled_inverse_lp(col("a.price"), col("b.price"))).as("num_sim"),
-        (bothPriced * min_max_ratio(col("a.price"), col("b.price"))).as("mmr"))
+        (bothPriced * min_max_ratio(col("a.price"), col("b.price"))).as("mmr"),
+        when(bothImg, cosine_sim(col("a.img"), col("b.img"))).otherwise(0.0).as("img_cos"),
+        when(bothImg, inverse_l1(col("a.img"), col("b.img"))).otherwise(0.0).as("img_l1"),
+        when(bothImg, inverse_l2(col("a.img"), col("b.img"))).otherwise(0.0).as("img_l2"))
     // lineage: "pairs scored" = candidates evaluated by phase 1 (observe
     // metric — rides whichever action consumes this plan, zero extra jobs)
     val phase1Score = lit(w.cos) * col("cosine") + lit(w.l1) * col("inv_l1") +
-      lit(w.num) * col("num_sim") + lit(w.mmr) * col("mmr")
+      lit(w.num) * col("num_sim") + lit(w.mmr) * col("mmr") +
+      lit(w.imgCos) * col("img_cos") + lit(w.imgL1) * col("img_l1") +
+      lit(w.imgL2) * col("img_l2")
     val survivors = stage1.observe("pairs_scored", count(lit(1)))
       .where(phase1Score >= lit(phase1Gate(w)))
 
@@ -266,7 +295,9 @@ object Scoring {
     val wide = a.select(col("id"), col("url"), col("title"), col("prefix"))
     val z = lit(w.jw) * col("jaro_winkler") + lit(w.lev) * col("levenshtein_sim") +
       lit(w.cos) * col("cosine") + lit(w.l1) * col("inv_l1") +
-      lit(w.num) * col("num_sim") + lit(w.mmr) * col("mmr") + lit(w.bias)
+      lit(w.num) * col("num_sim") + lit(w.mmr) * col("mmr") +
+      lit(w.imgCos) * col("img_cos") + lit(w.imgL1) * col("img_l1") +
+      lit(w.imgL2) * col("img_l2") + lit(w.bias)
     survivors
       .join(wide.as("a"), col("id1") === col("a.id"))
       .join(wide.as("b"), col("id2") === col("b.id"))
@@ -277,7 +308,8 @@ object Scoring {
         greatest(col("a.url"), col("b.url")).as("url2"),
         jaro_winkler(col("a.title"), col("b.title")).as("jaro_winkler"),
         levenshtein_sim(col("a.prefix"), col("b.prefix"), LevCap).as("levenshtein_sim"),
-        col("cosine"), col("inv_l1"), col("num_sim"), col("mmr"))
+        col("cosine"), col("inv_l1"), col("num_sim"), col("mmr"),
+        col("img_cos"), col("img_l1"), col("img_l2"))
       .withColumn("score", lit(1.0) / (lit(1.0) + exp(-z)))
       .as[ScoredPair]
   }

@@ -32,10 +32,12 @@ class FixtureSpec extends SparkSpec {
     assert(hist == Map(1L -> 120L, 2L -> 80L, 3L -> 40L, 5L -> 40L, 8L -> 40L))
   }
 
-  test("urls unique; html wraps text; lang mostly en") {
+  test("urls unique; html wraps text + a data-uri image; lang mostly en") {
     val pt = Fixture.pagesWithTruth(spark, 2000).cache()
     assert(pt.select("url").distinct().count() == 2000)
-    val bad = pt.where(decode($"html", "UTF-8") =!= concat(lit("<html><body>"), $"text", lit("</body></html>")))
+    val h = decode($"html", "UTF-8")
+    val bad = pt.where(!(h.startsWith(concat(lit("<html><body>"), $"text")) &&
+      h.rlike("data:image/fake;base64,[A-Za-z0-9+/=]+")))
     assert(bad.count() == 0)
     val langs = pt.groupBy("lang").count().as[(String, Long)].collect().toMap
     assert(langs("en") > 1800)
@@ -59,6 +61,20 @@ class FixtureSpec extends SparkSpec {
       .join(truth.as("b"), $"url2" === $"b.url")
       .where($"a.entity_id" =!= $"b.entity_id")
     assert(wrong.count() == 0)
+  }
+
+  test("planted media: same-entity images correlate, cross-entity near-orthogonal") {
+    val pt = Fixture.pagesWithTruth(spark, 23 * 5).cache()
+    val feats = pt.select($"url", $"entity_id",
+      graft.operators.Multimodal.imageVecFromHtml($"html").as("img")).cache()
+    val pairs = feats.as("a").join(feats.as("b"), $"a.url" < $"b.url")
+      .select(($"a.entity_id" === $"b.entity_id").as("same"),
+        graft.functions.GraftFunctions.cosine_sim($"a.img", $"b.img").as("c"))
+    val sameMin = pairs.where($"same").agg(min("c")).as[Double].collect()(0)
+    val diffAvg = pairs.where(!$"same").agg(avg(abs($"c"))).as[Double].collect()(0)
+    // two noisy copies compound the ~2% byte noise: floor ≈ 0.83 at 5k pages
+    assert(sameMin > 0.8, f"same-entity image cosine floor $sameMin%.3f")
+    assert(diffAvg < 0.3, f"cross-entity |cosine| mean $diffAvg%.3f")
   }
 
   test("duplicate copies keep the same extractable price value") {
