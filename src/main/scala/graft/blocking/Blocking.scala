@@ -136,6 +136,61 @@ object Blocking {
       .select(("block_key" +: "bucket" +: "salt" +: "id" +: payload).map(col): _*)
   }
 
+  /** Salted block-local CROSS join (A×B, two-table linkage — the reference's
+    * set1-vs-set2 deployment shape): entries from two tables sharing a
+    * `block_key` become candidate pairs (id1 from left, id2 from right; no
+    * `id1 < id2` canonicalization — the sides are distinct).
+    *
+    * Skew handling is the 2-D analog of the triangle: a block with nL left /
+    * nR right rows gets a kL×kR bucket grid (k = ceil(n/cap) per side); a
+    * left row with salt x replicates to buckets {(x, b) : b < kR}, a right
+    * row with salt y to {(a, y) : a < kL}, so every (L, R) pair co-occurs in
+    * EXACTLY one bucket (x, y) and no join task co-joins more than ~2·cap
+    * rows — full coverage, bounded tasks. Blocks above maxBlock on EITHER
+    * side are dropped entirely (counted via [[blockStats]] per side, never
+    * silent); keys present on only one side never join at all (the inner
+    * size-join prunes them before any replication). */
+  def saltedCrossJoinPairs(left: DataFrame, right: DataFrame, cap: Int, maxBlock: Int,
+                           payload: Seq[String] = Nil,
+                           persistEntries: Boolean = true): DataFrame = {
+    val (l, r) = crossBuckets(left, right, cap, maxBlock, payload, persistEntries)
+    val outCols = col("l.id").as("id1") +: col("r.id").as("id2") +:
+      payload.flatMap(p => Seq(col(s"l.$p").as(s"${p}_1"), col(s"r.$p").as(s"${p}_2")))
+    l.as("l").join(r.as("r"),
+        col("l.block_key") === col("r.block_key") &&
+        col("l.bucket") === col("r.bucket"))
+      .select(outCols: _*)
+  }
+
+  /** The replicated bucket tables behind [[saltedCrossJoinPairs]] — exposed
+    * for the planted-hot-block bound test (rows per (block_key, bucket)
+    * across both sides ≤ ~2·cap). */
+  private[graft] def crossBuckets(left: DataFrame, right: DataFrame, cap: Int,
+                                  maxBlock: Int, payload: Seq[String] = Nil,
+                                  persistEntries: Boolean = true): (DataFrame, DataFrame) = {
+    def persisted(df: DataFrame) =
+      if (persistEntries) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    val le = persisted(left)
+    val re = persisted(right)
+    val sizes = le.groupBy("block_key").agg(count(lit(1)).as("nl"))
+      .join(re.groupBy("block_key").agg(count(lit(1)).as("nr")), "block_key")
+      .where(if (maxBlock > 0) greatest(col("nl"), col("nr")) <= maxBlock else lit(true))
+      .select(col("block_key"),
+        ceil(col("nl") / cap).cast("int").as("kl"),
+        ceil(col("nr") / cap).cast("int").as("kr"))
+    def replicate(e: DataFrame, kOwn: String, kOther: String,
+                  bucketOf: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column) =
+      e.join(sizes, "block_key")
+        .withColumn("salt", pmod(xxhash64(col("id"), lit(SaltSeed)), col(kOwn)).cast("int"))
+        .withColumn("bucket", explode(transform(sequence(lit(0), col(kOther) - 1),
+          other => bucketOf(col("salt"), other))))
+        .select(("block_key" +: "bucket" +: "id" +: payload).map(col): _*)
+    val l = replicate(le, "kl", "kr", (own, other) => struct(own.as("x"), other.as("y")))
+    val r = replicate(re, "kr", "kl", (own, other) => struct(other.as("x"), own.as("y")))
+    (l, r)
+  }
+
   /** ER candidate pairs: the salted self-join over the MinHash+domain block
     * table, globally deduped (a pair found by several keys is emitted once —
     * SURVEY §4.3.2: plain dropDuplicates wins). */

@@ -10,6 +10,13 @@ import graft.pipeline.Linkage
   *
   *   LinkageMain --input <pages.parquet | fixture:N> --out <workDir>
   *               [--resume] [--parallelism N] [--threshold T]
+  *               [--right <pages.parquet | split>]
+  *
+  * `--right` switches to TWO-TABLE linkage (the reference's set1-vs-set2
+  * deployment): `--right <path>` links --input against that table;
+  * `--right split` divides a fixture input into canonical pages (left) vs
+  * duplicate copies (right) — the planted cross-set benchmark. Output is
+  * matched pairs, not clusters.
   *
   * `--parallelism` drives the local[N] proxy for the N-vs-4N executor scaling
   * evidence (BASELINE.md); on a real cluster the same jar runs unchanged under
@@ -38,6 +45,12 @@ object LinkageMain {
     val cfg = Linkage.Config(workDir = out, resume = resume, weights = weights,
       composition = composition)
 
+    opts.get("right").foreach { rightSpec =>
+      runTwoTable(spark, opts, input, rightSpec, pages, weights, composition)
+      spark.stop()
+      return
+    }
+
     val t0 = System.nanoTime()
     val result = Linkage.run(spark, pages, cfg)
     val nClusters = result.clusters.select("cluster_id").distinct().count()
@@ -56,6 +69,44 @@ object LinkageMain {
       s""""seconds":$secs,"pairs_per_sec":${if (secs > 0) pairsScored / secs else 0}""" +
       evalJson + "}")
     spark.stop()
+  }
+
+  private def runTwoTable(spark: SparkSession, opts: Map[String, String],
+                          input: String, rightSpec: String,
+                          pages: org.apache.spark.sql.DataFrame,
+                          weights: graft.scoring.Scoring.Weights,
+                          composition: graft.scoring.Scoring.Composition): Unit = {
+    import org.apache.spark.sql.functions._
+    val (left, right) = rightSpec match {
+      case "split" => // fixture benchmark: canonical copies vs duplicates
+        (pages.where(col("url").endsWith("/c0")),
+          pages.where(!col("url").endsWith("/c0")))
+      case path => (pages, spark.read.parquet(path))
+    }
+    val acc = spark.sparkContext.longAccumulator("two_table_pairs")
+    val t0 = System.nanoTime()
+    val matches = Linkage.runTwoTable(spark, left, right,
+      weights = weights, composition = composition, pairsScored = Some(acc))
+    val nMatches = matches.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val evalJson =
+      if (input.startsWith("fixture:") && rightSpec == "split" && opts.contains("eval")) {
+        val pt = Fixture.pagesWithTruth(spark, input.stripPrefix("fixture:").toLong)
+        val truth = pt.where(col("url").endsWith("/c0")).select(col("url").as("ul"), col("entity_id")).as("a")
+          .join(pt.where(!col("url").endsWith("/c0")).select(col("url").as("ur"), col("entity_id")).as("b"), "entity_id")
+          .select(least(col("ul"), col("ur")).as("url1"), greatest(col("ul"), col("ur")).as("url2"))
+        val pred = matches.select(least(col("url1"), col("url2")).as("url1"),
+          greatest(col("url1"), col("url2")).as("url2"))
+        val tp = pred.join(truth, Seq("url1", "url2"), "left_semi").count()
+        val fp = nMatches - tp
+        val fn = truth.count() - tp
+        val p = if (tp + fp == 0) 1.0 else tp.toDouble / (tp + fp)
+        val r = if (tp + fn == 0) 1.0 else tp.toDouble / (tp + fn)
+        val f1 = if (p + r == 0) 0.0 else 2 * p * r / (p + r)
+        f""","precision":$p%.6f,"recall":$r%.6f,"f1":$f1%.6f,"tp":$tp,"fp":$fp,"fn":$fn"""
+      } else ""
+    println(s"""{"mode":"two_table","left_right":"$rightSpec","matches":$nMatches,""" +
+      s""""pairs_scored":${acc.value},"seconds":$secs""" + evalJson + "}")
   }
 
   @annotation.tailrec

@@ -99,6 +99,48 @@ object Linkage {
     toUrlClusters(cc.assignments, idUrl)
   }
 
+  /** Two-table linkage (the reference's deployment shape: link record set A
+    * against record set B — helpers.py:88-127 computes doc_freqs_1 AND
+    * doc_freqs_2, one per side; Deeper.py:243-246 composes each side against
+    * its own). Blocks both tables on the same LSH keys, joins A×B through
+    * the salted CROSS-join primitive (never a self-join — no id1 < id2), and
+    * scores with per-side attributes: under Idf composition each side is
+    * weighted by ITS OWN document frequencies via idfWeightsTwoSidedFromNorm.
+    * Returns matched pairs (url1, url2, score ≥ threshold) — the reference's
+    * pairwise match predictions, not transitive clusters. In-memory
+    * (localCheckpoint) like [[runLight]]; snapshot staging mirrors [[run]]
+    * if a deployment needs resumability. */
+  def runTwoTable(spark: SparkSession, left: DataFrame, right: DataFrame,
+                  blocking: Blocking.Config = Blocking.Config(),
+                  weights: Scoring.Weights = Scoring.Weights(),
+                  composition: Scoring.Composition = Scoring.Average,
+                  pairsScored: Option[LongAccumulator] = None): DataFrame = {
+    import spark.implicits._
+    val preL = Scoring.projected(left).localCheckpoint()
+    val preR = Scoring.projected(right).localCheckpoint()
+    val (idfL, idfR) = composition match {
+      case Scoring.Idf => Scoring.idfWeightsTwoSidedFromNorm(spark, preL, preR)
+      case Scoring.Average => (Map.empty[Int, Double], Map.empty[Int, Double])
+    }
+    val attrsL = Scoring.attrsWithIdf(spark, preL, idfL).toDF().localCheckpoint().as[ScoreAttrs]
+    val attrsR = Scoring.attrsWithIdf(spark, preR, idfR).toDF().localCheckpoint().as[ScoreAttrs]
+    val blocksL = Blocking.blockTableFromProjected(preL, blocking).localCheckpoint()
+    val blocksR = Blocking.blockTableFromProjected(preR, blocking).localCheckpoint()
+    val cands = Blocking.saltedCrossJoinPairs(blocksL, blocksR,
+        blocking.cap, blocking.maxBlock, persistEntries = false)
+      .dropDuplicates("id1", "id2")
+    val scored = Scoring.scoreTwoTable(spark, cands, attrsL, attrsR, weights)
+    val matches = scored.toDF()
+      .where(col("score") >= weights.threshold)
+      .select(col("url1"), col("url2"), col("score"))
+    val out = matches.localCheckpoint()
+    pairsScored.foreach { acc =>
+      matches.queryExecution.observedMetrics.get("pairs_scored")
+        .foreach(r => acc.add(r.getLong(0)))
+    }
+    out
+  }
+
   def run(spark: SparkSession, pages: DataFrame, cfg: Config): Result = {
     import spark.implicits._
     val store = new SnapshotStore(spark, cfg.workDir, cfg.resume)

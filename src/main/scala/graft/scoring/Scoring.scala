@@ -87,6 +87,13 @@ object Scoring {
                          right: DataFrame): (Map[Int, Double], Map[Int, Double]) =
     (idfWeights(spark, left), idfWeights(spark, right))
 
+  /** [[idfWeightsTwoSided]] over already-normalized [[projected]] frames
+    * (what [[graft.pipeline.Linkage.runTwoTable]] consumes — each side's
+    * normText pass runs once). */
+  def idfWeightsTwoSidedFromNorm(spark: SparkSession, leftProjected: DataFrame,
+                                 rightProjected: DataFrame): (Map[Int, Double], Map[Int, Double]) =
+    (idfWeightsFromNorm(spark, leftProjected), idfWeightsFromNorm(spark, rightProjected))
+
   /** [[idfWeights]] over an already-normalized frame (column `norm`). */
   def idfWeightsFromNorm(spark: SparkSession, normed: DataFrame): Map[Int, Double] = {
     import spark.implicits._
@@ -157,14 +164,23 @@ object Scoring {
 
   /** [[attrs]] over an already-normalized [[projected]] frame. */
   def attrsFromProjected(spark: SparkSession, projected: DataFrame,
-                         composition: Composition = Average): Dataset[ScoreAttrs] = {
-    import spark.implicits._
-    val bcVocab = spark.sparkContext.broadcast(Fixture.vocabIndex)
-    val bcEmb = spark.sparkContext.broadcast(Fixture.embeddingMatrix)
-    val bcIdf = spark.sparkContext.broadcast(composition match {
+                         composition: Composition = Average): Dataset[ScoreAttrs] =
+    attrsWithIdf(spark, projected, composition match {
       case Idf => idfWeightsFromNorm(spark, projected)
       case Average => Map.empty[Int, Double]
     })
+
+  /** [[attrsFromProjected]] with an EXPLICIT IDF weight table (empty map =
+    * average composition) — the two-table pipeline passes each side its OWN
+    * document frequencies here ([[idfWeightsTwoSidedFromNorm]]; reference
+    * doc_freqs_1/doc_freqs_2, helpers.py:88-127, composed per side
+    * Deeper.py:243-246). */
+  def attrsWithIdf(spark: SparkSession, projected: DataFrame,
+                   idfWeights: Map[Int, Double]): Dataset[ScoreAttrs] = {
+    import spark.implicits._
+    val bcVocab = spark.sparkContext.broadcast(Fixture.vocabIndex)
+    val bcEmb = spark.sparkContext.broadcast(Fixture.embeddingMatrix)
+    val bcIdf = spark.sparkContext.broadcast(idfWeights)
     projected.as[(Long, String, String, Double, Int, Array[Float])].mapPartitions { it =>
       val vocab = bcVocab.value
       val emb = bcEmb.value
@@ -253,11 +269,25 @@ object Scoring {
       candidates: DataFrame, // id1, id2
       attrs: Dataset[ScoreAttrs],
       w: Weights = Weights(),
+      pairsScored: Option[LongAccumulator] = None): Dataset[ScoredPair] =
+    scoreTwoTable(spark, candidates, attrs, attrs, w, pairsScored)
+
+  /** [[score]] generalized to candidates whose sides come from two DIFFERENT
+    * attribute tables (two-table linkage: id1 ∈ left, id2 ∈ right). The
+    * self-linkage [[score]] is the left == right special case. */
+  def scoreTwoTable(
+      spark: SparkSession,
+      candidates: DataFrame, // id1, id2
+      leftAttrs: Dataset[ScoreAttrs],
+      rightAttrs: Dataset[ScoreAttrs],
+      w: Weights = Weights(),
       pairsScored: Option[LongAccumulator] = None): Dataset[ScoredPair] = {
     import spark.implicits._
     import graft.functions.GraftFunctions._
-    val a = attrs.toDF()
-    val slim = a.select(col("id"), col("price"), col("price_isna"), col("vec"), col("img"))
+    val aL = leftAttrs.toDF()
+    val aR = rightAttrs.toDF()
+    def slimOf(a: DataFrame) =
+      a.select(col("id"), col("price"), col("price_isna"), col("vec"), col("img"))
 
     // missingness gate (Deeper.py:139-149 isna indicators): when either side
     // lacks a price, both numeric features are 0 — two sentinel-0 prices
@@ -272,8 +302,8 @@ object Scoring {
     // phase 1: embedding + numeric + image features over every candidate
     // (all single-pass codegen kernels over data already in the slim join)
     val stage1 = candidates.select("id1", "id2")
-      .join(slim.as("a"), col("id1") === col("a.id"))
-      .join(slim.as("b"), col("id2") === col("b.id"))
+      .join(slimOf(aL).as("a"), col("id1") === col("a.id"))
+      .join(slimOf(aR).as("b"), col("id2") === col("b.id"))
       .select(col("id1"), col("id2"),
         cosine_sim(col("a.vec"), col("b.vec")).as("cosine"),
         inverse_l1(col("a.vec"), col("b.vec")).as("inv_l1"),
@@ -292,15 +322,15 @@ object Scoring {
       .where(phase1Score >= lit(phase1Gate(w)))
 
     // phase 2: string similarities + calibration, survivors only
-    val wide = a.select(col("id"), col("url"), col("title"), col("prefix"))
+    def wideOf(a: DataFrame) = a.select(col("id"), col("url"), col("title"), col("prefix"))
     val z = lit(w.jw) * col("jaro_winkler") + lit(w.lev) * col("levenshtein_sim") +
       lit(w.cos) * col("cosine") + lit(w.l1) * col("inv_l1") +
       lit(w.num) * col("num_sim") + lit(w.mmr) * col("mmr") +
       lit(w.imgCos) * col("img_cos") + lit(w.imgL1) * col("img_l1") +
       lit(w.imgL2) * col("img_l2") + lit(w.bias)
     survivors
-      .join(wide.as("a"), col("id1") === col("a.id"))
-      .join(wide.as("b"), col("id2") === col("b.id"))
+      .join(wideOf(aL).as("a"), col("id1") === col("a.id"))
+      .join(wideOf(aR).as("b"), col("id2") === col("b.id"))
       .select(
         col("id1"), col("id2"),
         // canonical url order (features are symmetric)

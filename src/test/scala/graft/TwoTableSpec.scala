@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.blocking.Blocking
+import graft.fixtures.Fixture
+import graft.pipeline.Linkage
+import graft.scoring.Scoring
+
+/** Two-table linkage gate: the reference's set1-vs-set2 deployment shape
+  * (per-side IDF, A×B block join) on a planted cross-set benchmark — left =
+  * canonical fixture pages (copy 0), right = all duplicate copies; the
+  * cross-set truth is every (canonical, copy) pair of the same entity. */
+class TwoTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val n = 23L * 100 // 100 full cycles → 1500 cross-set truth pairs
+  private lazy val pt = Fixture.pagesWithTruth(spark, n).cache()
+  private lazy val left = pt.where($"url".endsWith("/c0")).drop("entity_id").cache()
+  private lazy val right = pt.where(!$"url".endsWith("/c0")).drop("entity_id").cache()
+  private lazy val truth = {
+    val l = pt.where($"url".endsWith("/c0")).select($"url".as("ul"), $"entity_id")
+    val r = pt.where(!$"url".endsWith("/c0")).select($"url".as("ur"), $"entity_id")
+    l.join(r, "entity_id")
+      .select(least($"ul", $"ur").as("url1"), greatest($"ul", $"ur").as("url2"))
+      .cache()
+  }
+
+  private def f1Of(matches: DataFrame): (Double, Long, Long, Long) = {
+    val pred = matches.select(least($"url1", $"url2").as("url1"),
+      greatest($"url1", $"url2").as("url2"))
+    val tp = pred.join(truth, Seq("url1", "url2"), "left_semi").count()
+    val fp = pred.count() - tp
+    val fn = truth.count() - tp
+    val p = if (tp + fp == 0) 1.0 else tp.toDouble / (tp + fp)
+    val r = if (tp + fn == 0) 1.0 else tp.toDouble / (tp + fn)
+    val f1 = if (p + r == 0) 0.0 else 2 * p * r / (p + r)
+    (f1, tp, fp, fn)
+  }
+
+  test("two-table linkage recovers planted cross-set duplicates (F1 >= 0.99)") {
+    val (f1, tp, fp, fn) = f1Of(Linkage.runTwoTable(spark, left, right))
+    info(f"average composition: F1=$f1%.4f tp=$tp fp=$fp fn=$fn")
+    assert(f1 >= 0.99, s"two-table F1 $f1 below gate (tp=$tp fp=$fp fn=$fn)")
+  }
+
+  test("per-side IDF composition meets the gate (idfWeightsTwoSided consumed)") {
+    val (f1, tp, fp, fn) =
+      f1Of(Linkage.runTwoTable(spark, left, right, composition = Scoring.Idf))
+    info(f"idf composition: F1=$f1%.4f tp=$tp fp=$fp fn=$fn")
+    assert(f1 >= 0.99, s"two-table idf F1 $f1 below gate (tp=$tp fp=$fp fn=$fn)")
+  }
+
+  test("matches are strictly cross-set: one canonical + one copy per pair") {
+    val matches = Linkage.runTwoTable(spark, left, right)
+    val sameSide = matches.where(
+      ($"url1".endsWith("/c0") && $"url2".endsWith("/c0")) ||
+        (!$"url1".endsWith("/c0") && !$"url2".endsWith("/c0")))
+    assert(sameSide.count() == 0)
+  }
+
+  test("planted hot block: cross-join grid bounds tasks, exactly-once coverage") {
+    val cap = 64
+    val nl = 500L
+    val nr = 300L
+    val le = spark.range(nl).select(lit(7L).as("block_key"), $"id")
+    val re = spark.range(nr).select(lit(7L).as("block_key"), ($"id" + 10000L).as("id"))
+    val pairs = Blocking.saltedCrossJoinPairs(le, re, cap, maxBlock = 0)
+    assert(pairs.count() == nl * nr) // full coverage...
+    assert(pairs.distinct().count() == nl * nr) // ...each pair exactly once
+    val (lb, rb) = Blocking.crossBuckets(le, re, cap, maxBlock = 0)
+    val maxBucket = lb.select("block_key", "bucket")
+      .unionByName(rb.select("block_key", "bucket"))
+      .groupBy("block_key", "bucket").count()
+      .agg(max("count")).as[Long].collect()(0)
+    assert(maxBucket <= 3L * cap, s"hot cross block co-joins $maxBucket rows (cap=$cap)")
+    // a key present on one side only never joins (and never replicates)
+    val lone = spark.range(10).select(lit(9L).as("block_key"), $"id")
+    assert(Blocking.saltedCrossJoinPairs(lone, re, cap, maxBlock = 0).count() == 0)
+    // maxBlock drops the whole block, never partially
+    val dropped = Blocking.saltedCrossJoinPairs(le, re, cap, maxBlock = 299)
+    assert(dropped.count() == 0)
+  }
+}
