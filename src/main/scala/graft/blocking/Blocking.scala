@@ -1,7 +1,9 @@
 package graft.blocking
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
 
 import graft.functions.GraftFunctions
 import graft.normalize.Normalize
@@ -38,6 +40,39 @@ object Blocking {
 
   private val SaltSeed = 0xA5A5A5A5L
   private val DomSeed = 0xD0D0D0D0L
+
+  /** Persist `df` for the duration of ONE consuming action: a one-shot
+    * QueryExecutionListener unpersists it after the first query execution
+    * whose analyzed plan contains this frame (success or failure) fires.
+    *
+    * Why: the salted-join entries feed three consumers inside a single
+    * materialization (block sizes + both join sides) — that is what the
+    * cache deduplicates. But a plain .persist() pins the entry in the
+    * session CacheManager FOREVER; repeated dedup-operator calls in a
+    * long-lived session accumulate pinned block storage until eviction
+    * pressure or OOM (round-2 ADVICE). Scope the cache to the first action:
+    * exactly the window the multi-consumer plan needs. A caller that
+    * re-executes the returned frame later simply recomputes — correct,
+    * uncached; callers wanting cross-action reuse persist explicitly. */
+  private def persistUntilFirstUse(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val persisted = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val target = df.queryExecution.analyzed
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val listener: QueryExecutionListener = new QueryExecutionListener {
+      private def maybeRelease(qe: QueryExecution): Unit =
+        if (qe.analyzed.exists(_.sameResult(target)) && done.compareAndSet(false, true)) {
+          persisted.unpersist(blocking = false)
+          spark.listenerManager.unregister(this)
+        }
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        maybeRelease(qe)
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+        maybeRelease(qe)
+    }
+    spark.listenerManager.register(listener)
+    persisted
+  }
 
   /** 64-bit page id from the url (the join/shuffle key everywhere). */
   def pageId = xxhash64(col("url"))
@@ -96,12 +131,11 @@ object Blocking {
                           persistEntries: Boolean = true): DataFrame = {
     // entries feed THREE consumers (block sizes + both join sides); without
     // materialization the upstream key computation (minhash bands, simhash
-    // aggregation, gram arrays) re-executes per consumer. Callers that
-    // already checkpoint their entries (the ER pipeline) opt out.
-    val e =
-      if (persistEntries)
-        entries.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else entries
+    // aggregation, gram arrays) re-executes per consumer. The cache lives
+    // until the first consuming action, then auto-releases (no session-
+    // lifetime pinning). Callers that already checkpoint their entries (the
+    // ER pipeline) opt out.
+    val e = if (persistEntries) persistUntilFirstUse(entries) else entries
     val bucketed = saltedBuckets(e, cap, maxBlock, payload)
     val l = bucketed.as("l")
     val r = bucketed.as("r")
@@ -169,8 +203,7 @@ object Blocking {
                                   maxBlock: Int, payload: Seq[String] = Nil,
                                   persistEntries: Boolean = true): (DataFrame, DataFrame) = {
     def persisted(df: DataFrame) =
-      if (persistEntries) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else df
+      if (persistEntries) persistUntilFirstUse(df) else df
     val le = persisted(left)
     val re = persisted(right)
     val sizes = le.groupBy("block_key").agg(count(lit(1)).as("nl"))

@@ -75,4 +75,19 @@ class BlockingSpec extends SparkSpec {
     assert(nPairs < 60000, s"candidate blowup: $nPairs")
     assert(nPairs > 10000, s"suspiciously few candidates: $nPairs")
   }
+
+  test("salted-join entries cache auto-releases after the first action") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val beforeIds = spark.sparkContext.getPersistentRDDs.keySet
+    val entries = spark.range(2000).select(pmod($"id", lit(7)).as("block_key"), $"id")
+    // persistEntries = true (the default): the entries frame is cached for
+    // the duration of ONE materialization, then the one-shot listener drops
+    // it — repeated operator calls must NOT accumulate pinned block storage
+    Blocking.saltedSelfJoinPairs(entries, cap = 64, maxBlock = 0).count()
+    val deadline = System.currentTimeMillis + 15000
+    def leaked = (spark.sparkContext.getPersistentRDDs.keySet -- beforeIds).size
+    while (leaked > 0 && System.currentTimeMillis < deadline) Thread.sleep(100)
+    assert(leaked == 0, s"$leaked cached RDD(s) still pinned after the action")
+  }
 }
