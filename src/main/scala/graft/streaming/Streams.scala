@@ -33,6 +33,29 @@ object Streams {
     src.dropDuplicates("event_id")
   }
 
+  /** Streaming ingest of the linkage pipeline's front end (SURVEY §2.9
+    * stretch): watermarked within-horizon URL dedup over the page stream,
+    * then the SAME one-pass projection (normText/price/media pooling) and
+    * MinHash+domain block-key derivation the batch pipeline uses — both are
+    * pure per-row transforms, so the incrementally-appended block table is
+    * IDENTICAL to the one-shot batch table over the same pages (pinned by
+    * StreamingSpec). Downstream stages (salted pair join, scoring, CC) run
+    * in batch over the accumulated snapshot: blocks build as pages arrive,
+    * the expensive joins run on schedule — no reprocessing of the raw html
+    * at join time. On a batch frame this is exactly
+    * projected → blockTable (watermark/dedup degrade to plain distinct). */
+  def ingestBlockTable(pages: DataFrame,
+                       cfg: graft.blocking.Blocking.Config = graft.blocking.Blocking.Config(),
+                       watermark: String = "2 hours"): DataFrame = {
+    val tz = pages.withColumn("warc_ts", col("warc_ts").cast("timestamp"))
+    val deduped =
+      if (tz.isStreaming)
+        tz.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark("url")
+      else tz.dropDuplicates("url")
+    graft.blocking.Blocking.blockTableFromProjected(
+      graft.scoring.Scoring.projected(deduped), cfg)
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
   /** Open-session state; start/last are epoch MICROseconds (Timestamp.getTime
     * is millis and silently truncates the source's microsecond event times —

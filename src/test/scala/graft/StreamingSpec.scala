@@ -109,6 +109,43 @@ class StreamingSpec extends SparkSpec {
     assert(expected.exceptAll(got).count() == 0)
   }
 
+  test("streaming ingest: two-chunk page stream builds the identical block table") {
+    import java.nio.file.{Files, Paths}
+    val pages = graft.fixtures.Fixture.pages(spark, 500).toDF().cache()
+    val d = Files.createTempDirectory("graft-ingest-stream")
+    def writeChunk(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-ingest-chunk").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(d.toString, name))
+    }
+    // two drops with a 100-page overlap: the cross-batch duplicate urls MUST
+    // be deduped by the streaming state, not re-emitted
+    val first = pages.where(xxhash64($"url") % 2 === 0)
+    val second = pages.where(xxhash64($"url") % 2 =!= 0)
+    val overlap = first.limit(100)
+    writeChunk(first, "000.parquet")
+    writeChunk(second.unionByName(overlap), "001.parquet")
+
+    val stream = spark.readStream.schema(pages.schema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+    val q = Streams.ingestBlockTable(stream).writeStream
+      .outputMode("append")
+      .format("memory").queryName("ingest_blocks")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("ingest_blocks")
+    val batch = Streams.ingestBlockTable(pages)
+    // identical block table: same (block_key, id) multiset — a page deduped
+    // wrongly (missing or doubled) breaks multiset equality
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("stateful sessionization groups events by 30-min gaps") {
     val events = batchEvents.as[Streams.Event]
     val sessions = Streams.sessionize(spark, events).cache()
