@@ -390,6 +390,22 @@ object Oracles {
         |         WHEN d.i % 23 < 15 THEN 6 ELSE 7 END AS entity
         |  FROM unnest(range(2000)) AS d(i)
         |), sz AS (SELECT entity, COUNT(*) AS size FROM doc GROUP BY 1)
-        |SELECT size, COUNT(*) AS n_clusters FROM sz GROUP BY 1 ORDER BY 1""".stripMargin
+        |SELECT size, COUNT(*) AS n_clusters FROM sz GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // two-table closed form: each entity of size s has ONE canonical page
+    // (copy 0) and s−1 duplicate copies; a perfect cross-set linkage gives
+    // that canonical page exactly s−1 matches (entities of size 1 produce
+    // no output row). Same docId arithmetic as q40.
+    "q41_two_table" ->
+      """WITH doc AS (
+        |  SELECT (d.i // 23) * 8 +
+        |    CASE WHEN d.i % 23 < 1 THEN 0 WHEN d.i % 23 < 2 THEN 1
+        |         WHEN d.i % 23 < 3 THEN 2 WHEN d.i % 23 < 5 THEN 3
+        |         WHEN d.i % 23 < 7 THEN 4 WHEN d.i % 23 < 10 THEN 5
+        |         WHEN d.i % 23 < 15 THEN 6 ELSE 7 END AS entity
+        |  FROM unnest(range(2000)) AS d(i)
+        |), sz AS (SELECT entity, COUNT(*) AS size FROM doc GROUP BY 1)
+        |SELECT CAST(size - 1 AS BIGINT) AS n_matches, COUNT(*) AS n_left_pages
+        |FROM sz WHERE size >= 2 GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

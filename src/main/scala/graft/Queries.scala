@@ -398,4 +398,21 @@ object Queries {
       .groupBy("size").agg(count(lit(1)).as("n_clusters"))
       .orderBy("size")
   }
+
+  /** Two-table linkage (set1 vs set2, the reference's deployment shape):
+    * canonical fixture pages (copy 0) linked against all duplicate copies;
+    * output is the histogram of per-canonical-page match counts, which the
+    * planted entity sizes determine in closed form — every missed or
+    * spurious cross-set match changes it. */
+  def q41_two_table(s: SparkSession, dir: String): DataFrame = {
+    val pages = graft.fixtures.Fixture.pages(s, 2000).toDF()
+    val left = pages.where(col("url").endsWith("/c0"))
+    val right = pages.where(!col("url").endsWith("/c0"))
+    graft.pipeline.Linkage.runTwoTable(s, left, right)
+      .withColumn("lurl",
+        when(col("url1").endsWith("/c0"), col("url1")).otherwise(col("url2")))
+      .groupBy("lurl").agg(count(lit(1)).as("n_matches"))
+      .groupBy("n_matches").agg(count(lit(1)).as("n_left_pages"))
+      .orderBy("n_matches")
+  }
 }

@@ -55,7 +55,8 @@ object SparkEntry {
     "q34_eval_counts" -> Queries.q34_eval_counts,
     "q35_repetition" -> Queries.q35_repetition,
     "q36_shingle_novelty" -> Queries.q36_shingle_novelty,
-    "q40_er_clusters" -> Queries.q40_er_clusters
+    "q40_er_clusters" -> Queries.q40_er_clusters,
+    "q41_two_table" -> Queries.q41_two_table
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

@@ -43,13 +43,44 @@ object ClusterScalingMain {
     s
   }
 
+  /** Same-session substrate control: `procs` OS processes each burning an
+    * identical fixed CPU quantum (python busy loop — no JVM, no Spark, no
+    * shared state). Perfect process scaling ⇒ wall time independent of
+    * `procs`; this box's SMT/throttling ceiling shows up as the 16-proc
+    * time exceeding the 4-proc time. Measured adjacent to each Spark leg so
+    * the Spark efficiency can be normalized by what the machine could do AT
+    * THAT MOMENT (the VM's scheduling is nonstationary session to session —
+    * BENCH.md). */
+  private def cpuControl(procs: Int): Double = {
+    val work = "i=0\nwhile i<120000000: i+=1"
+    val t0 = System.nanoTime()
+    val ps = (1 to procs).map { _ =>
+      new ProcessBuilder("python3", "-c", work).inheritIO().start()
+    }
+    ps.foreach(_.waitFor())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val nPages = args.headOption.map(_.toLong).getOrElse(400000L)
-    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(2)
+    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(3)
     val baseN = args.drop(2).headOption.map(_.toInt).getOrElse(2)
+    // executor C2 JIT needs FULL-SIZE volume to reach steady state (a 100k
+    // warm-up shrinks but does not remove the 2-6× first-rep penalty —
+    // BENCH.md session E's 4N leg was still descending at rep 5). Protocol:
+    // one 100k smoke + `warmupFull` full-size reps discarded, then `reps`
+    // measured reps; report min AND last so a non-plateaued leg is visible.
+    val warmupFull = args.drop(3).headOption.map(_.toInt).getOrElse(2)
     val results = Seq(baseN, baseN * 4).map { workers =>
+      // substrate control adjacent to the leg, at the leg's core count
+      val ctl = cpuControl(workers * 4)
+      println(f"[scaling] workers=$workers cpu-control(${workers * 4} procs)=$ctl%.2f s")
       val spark = sessionAt(workers)
-      graft.Bench.erPipeline(spark, 100000L) // warm-up: C2 JIT + shuffle dirs need real volume
+      graft.Bench.erPipeline(spark, 100000L) // smoke: shuffle dirs + codegen
+      (1 to warmupFull).foreach { i =>
+        val r = graft.Bench.erPipeline(spark, nPages)
+        println(f"[scaling] workers=$workers warmup=$i ${r._1}%.2f s (discarded)")
+      }
       val runs = (1 to reps).map { i =>
         val r = graft.Bench.erPipeline(spark, nPages)
         println(f"[scaling] workers=$workers rep=$i ${r._1}%.2f s")
@@ -59,14 +90,22 @@ object ClusterScalingMain {
       spark.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
-      (workers, secs, pairs)
+      (workers, secs, pairs, runs.map(_._1), runs.last._1, ctl)
     }
-    val Seq((_, tN, pN), (_, t4N, p4N)) = results
+    val Seq((_, tN, pN, repsN, lastN, ctlN), (_, t4N, p4N, reps4N, last4N, ctl4N)) = results
     val eff = (tN / t4N) / 4.0
+    // fixed per-process work: perfect process scaling ⇒ ctl4N == ctlN; the
+    // ratio below is the ceiling ANY job (Spark or not) can reach on this
+    // box between these core counts, measured in THIS session
+    val ceiling = ctlN / ctl4N
+    def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
     println(f"""{"mode":"local-cluster","executors_n":$baseN,"executors_4n":${baseN * 4},"cores_per_executor":4,""" +
       f""""n_pages":$nPages,"pairs_scored":$pN,""" +
       f""""t_n_sec":$tN%.2f,"t_4n_sec":$t4N%.2f,""" +
+      f""""reps_n":${arr(repsN)},"reps_4n":${arr(reps4N)},""" +
+      f""""last_n_sec":$lastN%.2f,"last_4n_sec":$last4N%.2f,""" +
       f""""pairs_per_sec_n":${(pN / tN).round},"pairs_per_sec_4n":${(p4N / t4N).round},""" +
-      f""""scaling_efficiency":$eff%.3f}""")
+      f""""cpu_ctl_n_sec":$ctlN%.2f,"cpu_ctl_4n_sec":$ctl4N%.2f,"substrate_ceiling":$ceiling%.3f,""" +
+      f""""scaling_efficiency":$eff%.3f,"normalized_efficiency":${eff / ceiling}%.3f}""")
   }
 }
