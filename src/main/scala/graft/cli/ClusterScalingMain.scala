@@ -86,14 +86,22 @@ object ClusterScalingMain {
         println(f"[scaling] workers=$workers rep=$i ${r._1}%.2f s")
         r
       }
+      // serial-floor probe: the SAME pipeline at 2k pages is ~all fixed cost
+      // (job scheduling, planning, driver round-trips — parallelism-
+      // independent); measured in-session so the Amdahl decomposition below
+      // uses numbers from THIS machine state, not an assumed constant
+      val floor = (1 to 2).map(_ => graft.Bench.erPipeline(spark, 2000L)._1).min
+      println(f"[scaling] workers=$workers serial-floor(2k pages)=$floor%.2f s")
       val (secs, pairs, _) = runs.minBy(_._1)
       spark.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
-      (workers, secs, pairs, runs.map(_._1), runs.last._1, ctl)
+      (workers, secs, pairs, runs.map(_._1), runs.last._1, ctl, floor)
     }
-    val Seq((_, tN, pN, repsN, lastN, ctlN), (_, t4N, p4N, reps4N, last4N, ctl4N)) = results
+    val Seq((_, tN, pN, repsN, lastN, ctlN, floorN),
+            (_, t4N, p4N, reps4N, last4N, ctl4N, floor4N)) = results
     val eff = (tN / t4N) / 4.0
+    val parEff = ((tN - floorN) / (t4N - floor4N)) / 4.0
     // fixed per-process work: perfect process scaling ⇒ ctl4N == ctlN; the
     // ratio below is the ceiling ANY job (Spark or not) can reach on this
     // box between these core counts, measured in THIS session
@@ -106,6 +114,8 @@ object ClusterScalingMain {
       f""""last_n_sec":$lastN%.2f,"last_4n_sec":$last4N%.2f,""" +
       f""""pairs_per_sec_n":${(pN / tN).round},"pairs_per_sec_4n":${(p4N / t4N).round},""" +
       f""""cpu_ctl_n_sec":$ctlN%.2f,"cpu_ctl_4n_sec":$ctl4N%.2f,"substrate_ceiling":$ceiling%.3f,""" +
-      f""""scaling_efficiency":$eff%.3f,"normalized_efficiency":${eff / ceiling}%.3f}""")
+      f""""serial_floor_n_sec":$floorN%.2f,"serial_floor_4n_sec":$floor4N%.2f,""" +
+      f""""scaling_efficiency":$eff%.3f,"normalized_efficiency":${eff / ceiling}%.3f,""" +
+      f""""parallel_fraction_efficiency":$parEff%.3f}""")
   }
 }
