@@ -67,6 +67,26 @@ class PlanSpec extends SparkSpec {
     assert(projLine.exists(_.contains("*(")), s"similarity projection not codegen'd: $projLine")
   }
 
+  test("projected: media pooling is one codegen expression, html never travels past it") {
+    val pages = graft.fixtures.Fixture.pages(spark, 50).toDF()
+    val proj = graft.scoring.Scoring.projected(pages)
+    val plan = formatted(proj)
+    assert(plan.contains("avgpoolexpr"), "image pooling expression missing from plan")
+    // one projection over the scan: html is consumed inside it, not re-read
+    // (in the pipeline this frame is checkpointed, so downstream stages read
+    // the pooled vector, never the html — EndToEndSpec covers that path)
+    assert(plan.contains("normtextexpr"))
+  }
+
+  test("two-table cross pairing never plans as cartesian") {
+    import org.apache.spark.sql.functions.{lit, pmod}
+    import spark.implicits._
+    val le = spark.range(200).select(pmod($"id", lit(5)).as("block_key"), $"id")
+    val re = spark.range(200).select(pmod($"id", lit(5)).as("block_key"), ($"id" + 1000).as("id"))
+    val plan = formatted(graft.blocking.Blocking.saltedCrossJoinPairs(le, re, cap = 64, maxBlock = 0))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("blocking: minhash bands are one custom expression, not an expr chain") {
     val pages = graft.fixtures.Fixture.pages(spark, 50).toDF()
     val plan = formatted(graft.blocking.Blocking.blockTable(pages))
