@@ -41,37 +41,56 @@ object Blocking {
   private val SaltSeed = 0xA5A5A5A5L
   private val DomSeed = 0xD0D0D0D0L
 
-  /** Persist `df` for the duration of ONE consuming action: a one-shot
-    * QueryExecutionListener unpersists it after the first query execution
-    * whose analyzed plan contains this frame (success or failure) fires.
+  /** How many non-matching query executions the release listener tolerates
+    * before treating the consumer frame as abandoned and unpersisting anyway
+    * (a caller that builds a salted join lazily and never executes it must
+    * not pin block storage + a listener for the session lifetime). */
+  private val AbandonAfterMisses = 64
+
+  /** Scope `cached` (already persisted) to the first execution of its
+    * CONSUMING plan(s): a QueryExecutionListener unpersists the caches once
+    * every frame in `consumers` has appeared in an executed plan (success or
+    * failure).
     *
     * Why: the salted-join entries feed three consumers inside a single
     * materialization (block sizes + both join sides) — that is what the
     * cache deduplicates. But a plain .persist() pins the entry in the
     * session CacheManager FOREVER; repeated dedup-operator calls in a
     * long-lived session accumulate pinned block storage until eviction
-    * pressure or OOM (round-2 ADVICE). Scope the cache to the first action:
-    * exactly the window the multi-consumer plan needs. A caller that
-    * re-executes the returned frame later simply recomputes — correct,
-    * uncached; callers wanting cross-action reuse persist explicitly. */
-  private def persistUntilFirstUse(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val persisted = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val target = df.queryExecution.analyzed
-    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    * pressure or OOM (round-2 ADVICE). Matching on the CONSUMER plan (the
+    * pairs frame), not the cached subtree, means an earlier unrelated action
+    * over the entries (a blockStats count, say) reads the cache WITHOUT
+    * releasing it early (round-3 ADVICE). A consumer never executed at all
+    * releases after [[AbandonAfterMisses]] unrelated executions — bounded
+    * leak, and a late re-execution simply recomputes (correct, uncached). */
+  private[graft] def releaseAfterConsumed(cached: Seq[DataFrame], consumers: Seq[DataFrame],
+                                          maxMisses: Int = AbandonAfterMisses): Unit = {
+    val spark = cached.head.sparkSession
     val listener: QueryExecutionListener = new QueryExecutionListener {
-      private def maybeRelease(qe: QueryExecution): Unit =
-        if (qe.analyzed.exists(_.sameResult(target)) && done.compareAndSet(false, true)) {
-          persisted.unpersist(blocking = false)
+      private var remaining = consumers.map(_.queryExecution.analyzed)
+      private var misses = 0
+      private var done = false
+      private def release(): Unit =
+        if (!done) {
+          done = true
+          cached.foreach(_.unpersist(blocking = false))
           spark.listenerManager.unregister(this)
         }
+      private def maybeRelease(qe: QueryExecution): Unit = synchronized {
+        if (done) return
+        val left = remaining.filterNot(t => qe.analyzed.exists(_.sameResult(t)))
+        if (left.size == remaining.size) misses += 1
+        remaining = left
+        // all consumers seen, or the frame was abandoned: stop pinning
+        // storage + this listener either way
+        if (remaining.isEmpty || misses >= maxMisses) release()
+      }
       override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
         maybeRelease(qe)
       override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
         maybeRelease(qe)
     }
     spark.listenerManager.register(listener)
-    persisted
   }
 
   /** 64-bit page id from the url (the join/shuffle key everywhere). */
@@ -139,10 +158,13 @@ object Blocking {
     // entries feed multiple consumers (block sizes + join sides); without
     // materialization the upstream key computation (minhash bands, simhash
     // aggregation, gram arrays) re-executes per consumer. The cache lives
-    // until the first consuming action, then auto-releases (no session-
-    // lifetime pinning). Callers that already checkpoint their entries (the
-    // ER pipeline) opt out.
-    val e = if (persistEntries) persistUntilFirstUse(entries) else entries
+    // until the first action consuming the PAIRS frame, then auto-releases
+    // (no session-lifetime pinning; releaseAfterConsumed registered on the
+    // output below). Callers that already checkpoint their entries (the ER
+    // pipeline) opt out.
+    val e = if (persistEntries)
+      entries.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else entries
     val sized = sizedEntries(e, cap, maxBlock, payload)
     val lid = col("l.id"); val rid = col("r.id")
     // cross-salt: canonicalize ids (role assignment is salt-order, not
@@ -161,7 +183,9 @@ object Blocking {
         col("l.block_key") === col("r.block_key") &&
         col("l.salt") === col("r.salt") && lid < rid)
       .select(sameCols: _*)
-    cross.unionByName(same)
+    val out = cross.unionByName(same)
+    if (persistEntries) releaseAfterConsumed(Seq(e), Seq(out))
+    out
   }
 
   /** Entries of multi-row blocks with their salt: (block_key, k, salt, id,
@@ -191,6 +215,11 @@ object Blocking {
           .otherwise(transform(sequence(lit(0), col("salt") - 1),
             x => struct(x.as("x"), col("salt").as("y"))))
     sized
+      // k == 1 fast path: single-salt blocks (the overwhelmingly common case
+      // at sane caps) have NO cross-salt pairs — skip the bucket-array
+      // machinery entirely instead of evaluating per-row empty explodes; the
+      // same-salt direct join covers all their pairs
+      .where(col("k") > 1)
       .withColumn("bucket", explode(buckets))
       .select(("block_key" +: "bucket" +: "id" +: payload).map(col): _*)
   }
@@ -227,13 +256,15 @@ object Blocking {
   def saltedCrossJoinPairs(left: DataFrame, right: DataFrame, cap: Int, maxBlock: Int,
                            payload: Seq[String] = Nil,
                            persistEntries: Boolean = true): DataFrame = {
-    val (l, r) = crossBuckets(left, right, cap, maxBlock, payload, persistEntries)
+    val (l, r, release) = crossBucketsRaw(left, right, cap, maxBlock, payload, persistEntries)
     val outCols = col("l.id").as("id1") +: col("r.id").as("id2") +:
       payload.flatMap(p => Seq(col(s"l.$p").as(s"${p}_1"), col(s"r.$p").as(s"${p}_2")))
-    l.as("l").join(r.as("r"),
+    val out = l.as("l").join(r.as("r"),
         col("l.block_key") === col("r.block_key") &&
         col("l.bucket") === col("r.bucket"))
       .select(outCols: _*)
+    release(Seq(out))
+    out
   }
 
   /** The replicated bucket tables behind [[saltedCrossJoinPairs]] — exposed
@@ -242,8 +273,21 @@ object Blocking {
   private[graft] def crossBuckets(left: DataFrame, right: DataFrame, cap: Int,
                                   maxBlock: Int, payload: Seq[String] = Nil,
                                   persistEntries: Boolean = true): (DataFrame, DataFrame) = {
+    val (l, r, release) = crossBucketsRaw(left, right, cap, maxBlock, payload, persistEntries)
+    release(Seq(l, r)) // direct callers consume the bucket tables themselves
+    (l, r)
+  }
+
+  /** [[crossBuckets]] plus the deferred cache-release hook: the caller names
+    * the frame(s) whose first execution ends the entries caches' lifetime. */
+  private def crossBucketsRaw(left: DataFrame, right: DataFrame, cap: Int,
+                              maxBlock: Int, payload: Seq[String],
+                              persistEntries: Boolean):
+      (DataFrame, DataFrame, Seq[DataFrame] => Unit) = {
     def persisted(df: DataFrame) =
-      if (persistEntries) persistUntilFirstUse(df) else df
+      if (persistEntries)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
     val le = persisted(left)
     val re = persisted(right)
     val sizes = le.groupBy("block_key").agg(count(lit(1)).as("nl"))
@@ -261,7 +305,9 @@ object Blocking {
         .select(("block_key" +: "bucket" +: "id" +: payload).map(col): _*)
     val l = replicate(le, "kl", "kr", (own, other) => struct(own.as("x"), other.as("y")))
     val r = replicate(re, "kr", "kl", (own, other) => struct(other.as("x"), own.as("y")))
-    (l, r)
+    val release: Seq[DataFrame] => Unit =
+      consumers => if (persistEntries) releaseAfterConsumed(Seq(le, re), consumers)
+    (l, r, release)
   }
 
   /** ER candidate pairs: the salted self-join over the MinHash+domain block

@@ -98,23 +98,27 @@ object Ann {
                      nBits: Int = 8, tables: Int = 3, seed: Long = 42L,
                      bucketCap: Int = 4096): Map[String, Long] = {
     val c = corpusEntries(corpus, idCol, vecCol, nBits, tables, seed)
-    val kept = pmod(xxhash64(col("corpus_id"), lit(seed)), col("bucket_n")) < bucketCap
-    val row = c.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
-      .agg(
-        count(lit(1)).as("buckets_built"),
-        max(col("bucket_n")).as("max_bucket_size"))
-      .collect()(0)
-    val dropped =
-      if (bucketCap <= 0) 0L
-      else {
-        val sizes = c.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
-        c.join(sizes, "bucket")
-          .where(col("bucket_n") > bucketCap && !kept)
+    // ONE sizes aggregate, persisted for the (at most) two short actions
+    // below — the round-3 version re-aggregated the corpus entries per
+    // consumer; max() coalesces to 0 so an empty corpus reports zeros
+    // instead of an NPE on the null aggregate
+    val sizes = c.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val row = sizes.agg(
+          count(lit(1)).as("buckets_built"),
+          coalesce(max(col("bucket_n")), lit(0L)).as("max_bucket_size"))
+        .collect()(0)
+      val dropped =
+        if (bucketCap <= 0) 0L
+        else c.join(sizes, "bucket")
+          .where(col("bucket_n") > bucketCap &&
+            !(pmod(xxhash64(col("corpus_id"), lit(seed)), col("bucket_n")) < bucketCap))
           .count()
-      }
-    Map(
-      "buckets_built" -> row.getLong(0),
-      "max_bucket_size" -> row.getLong(1),
-      "entries_dropped" -> dropped)
+      Map(
+        "buckets_built" -> row.getLong(0),
+        "max_bucket_size" -> row.getLong(1),
+        "entries_dropped" -> dropped)
+    } finally sizes.unpersist(blocking = false)
   }
 }

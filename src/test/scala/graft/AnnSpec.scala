@@ -56,6 +56,14 @@ class AnnSpec extends SparkSpec {
     assert(topk.groupBy("query_id").count().where($"count" =!= 5).count() == 0)
   }
 
+  test("srpBucketStats on an empty corpus reports zeros (no NPE)") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "v")
+    val stats = Ann.srpBucketStats(empty, "vec_id", "v", bucketCap = 10)
+    assert(stats("buckets_built") == 0L)
+    assert(stats("max_bucket_size") == 0L)
+    assert(stats("entries_dropped") == 0L)
+  }
+
   test("SRP-LSH scans far fewer candidates than brute force") {
     // bucket histogram: no bucket should hold a large fraction of the corpus
     val bucketed = emb.select(

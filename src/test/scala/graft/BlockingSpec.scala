@@ -90,4 +90,38 @@ class BlockingSpec extends SparkSpec {
     while (leaked > 0 && System.currentTimeMillis < deadline) Thread.sleep(100)
     assert(leaked == 0, s"$leaked cached RDD(s) still pinned after the action")
   }
+
+  test("entries cache survives unrelated actions; only the consuming plan releases it") {
+    val beforeIds = spark.sparkContext.getPersistentRDDs.keySet
+    def extra = (spark.sparkContext.getPersistentRDDs.keySet -- beforeIds).size
+    val entries = spark.range(1500).select(pmod($"id", lit(3)).as("block_key"), $"id")
+    val pairs = Blocking.saltedSelfJoinPairs(entries, cap = 64, maxBlock = 0)
+    // an action over the ENTRIES subtree alone (the blockStats shape) must
+    // NOT release the cache — it predates the multi-consumer pairs join the
+    // cache exists for (round-3 ADVICE: subtree matching released here)
+    entries.count() // materializes the cache as a side effect
+    assert(extra > 0, "entries were never cached")
+    spark.range(5).count() // unrelated query: no release either
+    Thread.sleep(300)
+    assert(extra > 0, s"cache released by a non-consuming action")
+    pairs.count() // the consuming plan: NOW it releases
+    val deadline = System.currentTimeMillis + 15000
+    while (extra > 0 && System.currentTimeMillis < deadline) Thread.sleep(100)
+    assert(extra == 0, s"$extra cached RDD(s) still pinned after the consuming action")
+  }
+
+  test("abandoned consumer: cache force-releases after bounded misses") {
+    val beforeIds = spark.sparkContext.getPersistentRDDs.keySet
+    def extra = (spark.sparkContext.getPersistentRDDs.keySet -- beforeIds).size
+    val cached = spark.range(800).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cached.count() // materialize
+    assert(extra > 0)
+    val consumer = cached.select(($"id" * 2).as("id2")) // never executed
+    Blocking.releaseAfterConsumed(Seq(cached), Seq(consumer), maxMisses = 3)
+    (1 to 3).foreach(_ => spark.range(7).count()) // unrelated churn
+    val deadline = System.currentTimeMillis + 15000
+    while (extra > 0 && System.currentTimeMillis < deadline) Thread.sleep(100)
+    assert(extra == 0, s"$extra cached RDD(s) pinned by an abandoned consumer")
+  }
 }

@@ -45,6 +45,11 @@ class NormalizeSpec extends SparkSpec {
     assert(norm("&notanentity;") == "& notanentity ;")
     assert(norm("a&b") == "a & b")
     assert(norm("&#xZZ;") == "& # xzz ;")
+    // digit-less numeric refs: html.unescape's charref regex requires ≥1
+    // digit, so these pass through UNCHANGED (round-3 ADVICE parity pin)
+    assert(norm("&#x;") == "& # x ;")
+    assert(norm("&#;") == "& # ;")
+    assert(norm("a&#X;b") == "a & # x ; b")
     // double-escaped: ONE unescape pass, like html.unescape
     assert(norm("&amp;amp;") == "& amp ;")
   }
