@@ -408,10 +408,10 @@ object Queries {
     val pages = graft.fixtures.Fixture.pages(s, 2000).toDF()
     val left = pages.where(col("url").endsWith("/c0"))
     val right = pages.where(!col("url").endsWith("/c0"))
+    // url1 IS the left-table (canonical) url — two-table output keeps
+    // ltable/rtable side identity (Scoring.scoreTwoTable)
     graft.pipeline.Linkage.runTwoTable(s, left, right)
-      .withColumn("lurl",
-        when(col("url1").endsWith("/c0"), col("url1")).otherwise(col("url2")))
-      .groupBy("lurl").agg(count(lit(1)).as("n_matches"))
+      .groupBy("url1").agg(count(lit(1)).as("n_matches"))
       .groupBy("n_matches").agg(count(lit(1)).as("n_left_pages"))
       .orderBy("n_matches")
   }

@@ -270,18 +270,27 @@ object Scoring {
       attrs: Dataset[ScoreAttrs],
       w: Weights = Weights(),
       pairsScored: Option[LongAccumulator] = None): Dataset[ScoredPair] =
-    scoreTwoTable(spark, candidates, attrs, attrs, w, pairsScored)
+    scoreTwoTable(spark, candidates, attrs, attrs, w, pairsScored,
+      canonicalUrlOrder = true)
 
   /** [[score]] generalized to candidates whose sides come from two DIFFERENT
     * attribute tables (two-table linkage: id1 ∈ left, id2 ∈ right). The
-    * self-linkage [[score]] is the left == right special case. */
+    * self-linkage [[score]] is the left == right special case.
+    *
+    * `canonicalUrlOrder = false` (the two-table default) emits url1 = the
+    * LEFT table's url and url2 = the RIGHT table's — the reference keeps
+    * ltable/rtable identity in its pair output (split_data.py:77-99), and
+    * canonical least/greatest ordering would erase which side a match came
+    * from. Only the self-join path canonicalizes (sides share one table, so
+    * order is presentation, and downstream dedup/CC expect url1 < url2). */
   def scoreTwoTable(
       spark: SparkSession,
       candidates: DataFrame, // id1, id2
       leftAttrs: Dataset[ScoreAttrs],
       rightAttrs: Dataset[ScoreAttrs],
       w: Weights = Weights(),
-      pairsScored: Option[LongAccumulator] = None): Dataset[ScoredPair] = {
+      pairsScored: Option[LongAccumulator] = None,
+      canonicalUrlOrder: Boolean = false): Dataset[ScoredPair] = {
     import spark.implicits._
     import graft.functions.GraftFunctions._
     val aL = leftAttrs.toDF()
@@ -333,9 +342,12 @@ object Scoring {
       .join(wideOf(aR).as("b"), col("id2") === col("b.id"))
       .select(
         col("id1"), col("id2"),
-        // canonical url order (features are symmetric)
-        least(col("a.url"), col("b.url")).as("url1"),
-        greatest(col("a.url"), col("b.url")).as("url2"),
+        // self-join: canonical url order (features are symmetric);
+        // two-table: url1/url2 keep left/right table identity
+        (if (canonicalUrlOrder) least(col("a.url"), col("b.url"))
+         else col("a.url")).as("url1"),
+        (if (canonicalUrlOrder) greatest(col("a.url"), col("b.url"))
+         else col("b.url")).as("url2"),
         jaro_winkler(col("a.title"), col("b.title")).as("jaro_winkler"),
         levenshtein_sim(col("a.prefix"), col("b.prefix"), LevCap).as("levenshtein_sim"),
         col("cosine"), col("inv_l1"), col("num_sim"), col("mmr"),

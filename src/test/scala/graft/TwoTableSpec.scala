@@ -52,12 +52,15 @@ class TwoTableSpec extends SparkSpec {
     assert(f1 >= 0.99, s"two-table idf F1 $f1 below gate (tp=$tp fp=$fp fn=$fn)")
   }
 
-  test("matches are strictly cross-set: one canonical + one copy per pair") {
-    val matches = Linkage.runTwoTable(spark, left, right)
-    val sameSide = matches.where(
-      ($"url1".endsWith("/c0") && $"url2".endsWith("/c0")) ||
-        (!$"url1".endsWith("/c0") && !$"url2".endsWith("/c0")))
-    assert(sameSide.count() == 0)
+  test("matches keep table identity: url1 from the left table, url2 from the right") {
+    val matches = Linkage.runTwoTable(spark, left, right).cache()
+    assert(matches.count() > 0)
+    // the reference keeps ltable/rtable sides (split_data.py:77-99); a
+    // canonical least/greatest ordering would scramble them
+    assert(matches.where(!$"url1".endsWith("/c0")).count() == 0,
+      "url1 must always come from the LEFT (canonical) table")
+    assert(matches.where($"url2".endsWith("/c0")).count() == 0,
+      "url2 must always come from the RIGHT (copies) table")
   }
 
   test("planted hot block: cross-join grid bounds tasks, exactly-once coverage") {
