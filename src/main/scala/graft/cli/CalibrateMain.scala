@@ -14,11 +14,17 @@ import graft.scoring.Scoring
 object CalibrateMain {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(5000L)
+    // "textonly" second arg: drop the media column and fit the text+price
+    // profile (Weights.withoutMedia) — media is not a pure bias shift
+    // (it adds ~3.2 logits to the weakest positive but also ~0.8 to the
+    // hottest negative), so the text-only bias is FIT here, not derived
+    val textOnly = args.lift(1).contains("textonly")
     val spark = Sessions.local(16, "graft-calibrate")
     import spark.implicits._
 
     val pt = Fixture.pagesWithTruth(spark, n).cache()
-    val pages = pt.drop("entity_id")
+    val pages0 = pt.drop("entity_id")
+    val pages = if (textOnly) pages0.drop("html") else pages0
     val labeled = Fixture.labeledPairs(spark, pt).cache()
 
     val attrs = Scoring.attrs(spark, pages).cache()

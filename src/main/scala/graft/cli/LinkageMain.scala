@@ -35,9 +35,13 @@ object LinkageMain {
       if (input.startsWith("fixture:")) Fixture.pages(spark, input.stripPrefix("fixture:").toLong).toDF()
       else spark.read.parquet(input)
 
+    // auto-profile: the calibrated default bias assumes embedded media; a
+    // text-only corpus (no html column) hands the inactive image family's
+    // logit headroom back to the bias (Scoring.Weights.profileFor)
+    val base = graft.scoring.Scoring.Weights.profileFor(pages)
     val weights = opts.get("threshold")
-      .map(t => graft.scoring.Scoring.Weights(threshold = t.toDouble))
-      .getOrElse(graft.scoring.Scoring.Weights())
+      .map(t => base.copy(threshold = t.toDouble))
+      .getOrElse(base)
     val composition = opts.get("composition") match {
       case Some("idf") => graft.scoring.Scoring.Idf
       case _ => graft.scoring.Scoring.Average

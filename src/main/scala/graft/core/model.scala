@@ -27,11 +27,13 @@ case class CandidatePair(url1: String, url2: String)
 /** Per-page scoring attributes, computed once (not per pair). `id` is the
   * 64-bit page id (xxhash64(url)); `vec` is the composed frozen-embedding
   * vector (reference composition 'average', Deeper.py:233-236, via broadcast
-  * lookup). `price_isna` is the P7 missingness indicator the scorer uses to
-  * gate the numeric similarities (Deeper.py:139-149). */
+  * lookup). `price_isna` / `text_isna` are the P7 missingness indicators the
+  * scorer uses to gate the numeric and text/embedding similarity families
+  * (the reference emits an isna column per converted field,
+  * Deeper.py:139-149; text_isna = the page normalized to zero tokens). */
 case class ScoreAttrs(id: Long, url: String, title: String, prefix: String,
-                      price: Double, price_isna: Int, vec: Array[Float],
-                      img: Array[Float])
+                      price: Double, price_isna: Int, text_isna: Int,
+                      vec: Array[Float], img: Array[Float])
 
 /** Scored candidate pair (FIXTURES.md §5 scored_pairs shape, plus the
   * numeric pair ids that downstream clustering shuffles instead of urls).

@@ -33,9 +33,16 @@ object Scoring {
     * and the image-similarity triple over the pooled media vector — cosine,
     * inverse-L1, inverse-L2, EXACTLY the sims the reference's image-augmented
     * matcher feeds into the same dense head as the text features
-    * (deeper_models.py:603-655, config train_deeper.py:242-268). Image
-    * features are 0 when either side lacks media, so text-only corpora score
-    * as before modulo the bias. */
+    * (deeper_models.py:603-655, config train_deeper.py:242-268).
+    *
+    * IMPORTANT — the DEFAULTS assume a media-bearing, priced corpus: the
+    * bias (−11) was calibrated with the image triple (up to imgCos+imgL1+
+    * imgL2 = 4 logits at a perfect match) and the price pair (up to
+    * num+mmr = 2) ACTIVE. On a corpus without embedded media and/or prices
+    * those features are gated to 0 and a perfect text match loses that many
+    * logits of headroom — a silent recall squeeze. Use [[Weights.profileFor]]
+    * (or [[withoutMedia]]/[[withoutPrice]]) to re-center the bias for the
+    * corpus shape; LinkageMain auto-selects by input columns. */
   case class Weights(
       jw: Double = 2.5,
       lev: Double = 2.5,
@@ -47,7 +54,44 @@ object Scoring {
       imgL1: Double = 1.0,
       imgL2: Double = 1.0,
       bias: Double = -11.0,
-      threshold: Double = 0.5)
+      threshold: Double = 0.5) {
+    /** Profile for a corpus without embedded media, FIT on the text-only
+      * fixture (CalibrateMain <n> textonly): media is NOT a pure bias shift —
+      * at 10k pages it adds ~3.2 logits to the weakest positive but also
+      * ~0.8 to the hottest negative, so handing back the full 4-logit
+      * family weight (the naive derivation) pushes hard negatives over
+      * threshold. The fitted handback centers the text+price margin
+      * (neg feature max 8.0–8.3, pos feature min 10.6–11.4 across 2k/10k
+      * fits → bias −9.4). Tied to the default calibration: refit via
+      * CalibrateMain after changing any family weight. */
+    def withoutMedia: Weights = copy(bias = bias + Weights.MediaBiasHandback)
+    /** Profile for a corpus without extractable prices: matches always lose
+      * exactly num+mmr = 2 (equal prices), so the positive margin shifts by
+      * −2 and the full handback restores it; negatives whose price features
+      * were below 2 edge up — conservative deployments should lower the
+      * handback or refit on their corpus. */
+    def withoutPrice: Weights = copy(bias = bias + num + mmr)
+  }
+
+  object Weights {
+    /** Fitted bias handback for media-less corpora (see [[Weights.withoutMedia]]). */
+    val MediaBiasHandback = 1.6
+
+    /** Calibrated default re-centered for the corpus shape: each INACTIVE
+      * feature family hands its fitted logit contribution back to the bias. */
+    def profileFor(hasPrice: Boolean, hasMedia: Boolean): Weights = {
+      var w = Weights()
+      if (!hasMedia) w = w.withoutMedia
+      if (!hasPrice) w = w.withoutPrice
+      w
+    }
+
+    /** [[profileFor]] from the input frame's shape: media needs an `html`
+      * column (the pooling source); price extraction reads `text`. */
+    def profileFor(pages: org.apache.spark.sql.DataFrame): Weights =
+      profileFor(hasPrice = pages.columns.contains("text"),
+        hasMedia = pages.columns.contains("html"))
+  }
 
   val LevCap = 128 // chars of normalized prefix entering edit distance (cost control)
   val TitleTokens = 8
@@ -231,7 +275,12 @@ object Scoring {
         }
         val title = if (titleEnd < 0) norm else norm.substring(0, titleEnd)
         val prefix = if (norm.length <= LevCap) norm else norm.substring(0, LevCap)
-        ScoreAttrs(id, url, title, prefix, price, priceIsna, acc, img)
+        // text missingness: zero tokens after normalization (empty/whitespace
+        // source text) — gates jw/lev/cos/l1 exactly like price_isna gates
+        // the numeric family (two empty strings are "equal", and the inverse-
+        // L1 of two zero vectors is exp(0) = 1: both fake perfect matches)
+        val textIsna = if (nTok == 0) 1 else 0
+        ScoreAttrs(id, url, title, prefix, price, priceIsna, textIsna, acc, img)
       }
     }
   }
@@ -296,7 +345,8 @@ object Scoring {
     val aL = leftAttrs.toDF()
     val aR = rightAttrs.toDF()
     def slimOf(a: DataFrame) =
-      a.select(col("id"), col("price"), col("price_isna"), col("vec"), col("img"))
+      a.select(col("id"), col("price"), col("price_isna"), col("text_isna"),
+        col("vec"), col("img"))
 
     // missingness gate (Deeper.py:139-149 isna indicators): when either side
     // lacks a price, both numeric features are 0 — two sentinel-0 prices
@@ -304,18 +354,25 @@ object Scoring {
     // perfect match between two UNPRICED records
     val bothPriced =
       ((lit(1) - col("a.price_isna")) * (lit(1) - col("b.price_isna"))).cast("double")
-    // media gate, same principle: inverse-L1/L2 of two EMPTY vectors is
-    // exp(0) = 1 — image features exist only when both sides carry media
+    // text gate, same principle (round-3 VERDICT ask #7): two empty-text
+    // pages would otherwise score jw("","") = 1, lev_sim("","") = 1 and
+    // inverse_l1(0-vec, 0-vec) = exp(0) = 1 — the same fake-match shape
+    val bothText =
+      ((lit(1) - col("a.text_isna")) * (lit(1) - col("b.text_isna"))).cast("double")
+    // media gate: inverse-L1/L2 of two EMPTY vectors is exp(0) = 1 — image
+    // features exist only when both sides carry media
     val bothImg = size(col("a.img")) > 0 && size(col("b.img")) > 0
 
     // phase 1: embedding + numeric + image features over every candidate
-    // (all single-pass codegen kernels over data already in the slim join)
+    // (all single-pass codegen kernels over data already in the slim join);
+    // both_text rides along so phase 2 gates jw/lev without re-joining isna
     val stage1 = candidates.select("id1", "id2")
       .join(slimOf(aL).as("a"), col("id1") === col("a.id"))
       .join(slimOf(aR).as("b"), col("id2") === col("b.id"))
       .select(col("id1"), col("id2"),
-        cosine_sim(col("a.vec"), col("b.vec")).as("cosine"),
-        inverse_l1(col("a.vec"), col("b.vec")).as("inv_l1"),
+        bothText.as("both_text"),
+        (bothText * cosine_sim(col("a.vec"), col("b.vec"))).as("cosine"),
+        (bothText * inverse_l1(col("a.vec"), col("b.vec"))).as("inv_l1"),
         (bothPriced * scaled_inverse_lp(col("a.price"), col("b.price"))).as("num_sim"),
         (bothPriced * min_max_ratio(col("a.price"), col("b.price"))).as("mmr"),
         when(bothImg, cosine_sim(col("a.img"), col("b.img"))).otherwise(0.0).as("img_cos"),
@@ -348,8 +405,9 @@ object Scoring {
          else col("a.url")).as("url1"),
         (if (canonicalUrlOrder) greatest(col("a.url"), col("b.url"))
          else col("b.url")).as("url2"),
-        jaro_winkler(col("a.title"), col("b.title")).as("jaro_winkler"),
-        levenshtein_sim(col("a.prefix"), col("b.prefix"), LevCap).as("levenshtein_sim"),
+        (col("both_text") * jaro_winkler(col("a.title"), col("b.title"))).as("jaro_winkler"),
+        (col("both_text") *
+          levenshtein_sim(col("a.prefix"), col("b.prefix"), LevCap)).as("levenshtein_sim"),
         col("cosine"), col("inv_l1"), col("num_sim"), col("mmr"),
         col("img_cos"), col("img_l1"), col("img_l2"))
       .withColumn("score", lit(1.0) / (lit(1.0) + exp(-z)))

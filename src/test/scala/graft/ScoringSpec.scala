@@ -134,6 +134,51 @@ class ScoringSpec extends SparkSpec {
     assert(math.abs(ab.num_sim - 1.0) < 1e-9)
   }
 
+  test("text_isna gates string + embedding sims: empty-text pairs never fake a match") {
+    val words = Fixture.vocab.take(40).mkString(" ")
+    val corpus = Seq(
+      ("https://x.com/a", s"$words. price $$10.00"),
+      ("https://x.com/e1", ""),   // empty text → text_isna
+      ("https://x.com/e2", "   ") // whitespace-only normalizes to zero tokens
+    ).toDF("url", "text")
+    val attrs = Scoring.attrs(spark, corpus)
+    assert(attrs.where($"url" === "https://x.com/e1").collect()(0).text_isna == 1)
+    assert(attrs.where($"url" === "https://x.com/a").collect()(0).text_isna == 0)
+    def pair(u1: String, u2: String) = Seq((u1, u2)).toDF("u1", "u2")
+      .select(xxhash64(least($"u1", $"u2")).as("id1"), xxhash64(greatest($"u1", $"u2")).as("id2"))
+    val w = Scoring.Weights(threshold = 1e-12) // disarm gate: observe raw features
+    // both empty: jw("","") = 1 and inv_l1(0,0) = exp(0) = 1 would fake a
+    // perfect match between two EMPTY pages — all four must be gated to 0
+    val ee = Scoring.score(spark, pair("https://x.com/e1", "https://x.com/e2"), attrs, w).collect()(0)
+    assert(ee.jaro_winkler == 0.0 && ee.levenshtein_sim == 0.0)
+    assert(ee.cosine == 0.0 && ee.inv_l1 == 0.0)
+    // one side empty: still gated
+    val ae = Scoring.score(spark, pair("https://x.com/a", "https://x.com/e1"), attrs, w).collect()(0)
+    assert(ae.jaro_winkler == 0.0 && ae.levenshtein_sim == 0.0 && ae.inv_l1 == 0.0)
+  }
+
+  test("text-only corpus under Weights.profileFor keeps the decision margin") {
+    // strip the media column: the fixture becomes a text+price corpus; the
+    // re-centered bias (withoutMedia) must separate labels with the same
+    // threshold the calibrated media-bearing default uses
+    val textOnly = pages.drop("html")
+    val w = Scoring.Weights.profileFor(textOnly)
+    assert(w.bias == Scoring.Weights().withoutMedia.bias)
+    val attrs = Scoring.attrs(spark, textOnly)
+    val withIds = labeled.toDF()
+      .withColumn("id1", xxhash64(col("url1")))
+      .withColumn("id2", xxhash64(col("url2")))
+    val s = Scoring.score(spark, withIds.select("id1", "id2"), attrs, w)
+      .toDF().drop("url1", "url2")
+      .join(withIds, Seq("id1", "id2")).cache()
+    val posMin = s.where($"label" === 1).agg(min("score")).as[Double].collect()(0)
+    val negMax = s.where($"label" === 0).agg(max("score")).as[Double].collect()(0)
+    info(f"text-only profile: posMin=$posMin%.4f negMax=$negMax%.4f")
+    assert(posMin > 0.5 && negMax < 0.5)
+    // image features really were inactive, not merely small
+    assert(s.agg(max(abs($"img_cos")) + max(abs($"img_l1"))).as[Double].collect()(0) == 0.0)
+  }
+
   test("numeric sims wired with reference semantics into score") {
     // identical price across dup copies → num_sim = exp(0) = 1 for positives
     val attrs = Scoring.attrs(spark, pages)
