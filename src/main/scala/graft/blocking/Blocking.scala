@@ -15,12 +15,16 @@ import graft.normalize.Normalize
   * split_data.py:47 — blocking is the scale path mandated by the north star).
   *
   * Everything downstream of the page scan flows NUMERIC keys: pages are
-  * addressed by `id = xxhash64(url)` and block keys are 64-bit hashes, so
-  * every shuffle (block exchange, self-join, pair dedup, clustering) moves
-  * 8-byte longs instead of ~45-byte url / ~20-byte key strings — a ~4-5×
-  * shuffle-byte reduction that compounds at 10^12 rows. (At that scale the id
-  * should widen to 128 bits; the pipeline asserts id uniqueness and fails
-  * loudly on collision — Linkage.run.)
+  * addressed by a 128-bit id (two independent xxhash64 lanes over the url,
+  * struct<hi,lo>) and block keys are 64-bit hashes, so every shuffle (block
+  * exchange, self-join, pair dedup, clustering) moves 16-byte fixed keys
+  * instead of ~45-byte url strings — still a ~3× shuffle-byte reduction at
+  * 10^12 rows. 128 bits, not 64: at the 10^12-page north star the birthday
+  * bound makes 64-bit collisions EXPECTED (~10^24/2^65 — thousands of
+  * silently merged clusters), while 128-bit keeps P(any collision) below
+  * 10^-14. The pipeline still asserts id uniqueness and fails loudly
+  * (Linkage.run) — at 128 bits that guard is a data-quality check (dup
+  * urls), not a probabilistic ceiling.
   */
 object Blocking {
 
@@ -93,8 +97,19 @@ object Blocking {
     spark.listenerManager.register(listener)
   }
 
-  /** 64-bit page id from the url (the join/shuffle key everywhere). */
-  def pageId = xxhash64(col("url"))
+  /** Seed decorrelating the second id lane from the first (golden-ratio
+    * constant — any fixed odd value works; hashing (url, seed) through
+    * xxhash64 yields a lane independent of xxhash64(url)). */
+  private val IdLoSeed = 0x9E3779B97F4A7C15L
+
+  /** 128-bit page id from the url (the join/shuffle key everywhere):
+    * struct(hi = xxhash64(url), lo = xxhash64(url, seed)). Struct keys
+    * hash/compare natively in every Spark shuffle, join, and aggregate. */
+  def pageId: org.apache.spark.sql.Column = pageIdOf(col("url"))
+
+  /** [[pageId]] over an explicit url column (tests, label→id mapping). */
+  def pageIdOf(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    struct(xxhash64(url).as("hi"), xxhash64(url, lit(IdLoSeed)).as("lo"))
 
   /** Block table: (block_key: long, id: long). One row per (page, key);
     * bands+1 keys per page. The MinHash signature is one codegen'd custom

@@ -28,11 +28,11 @@ object CalibrateMain {
     val labeled = Fixture.labeledPairs(spark, pt).cache()
 
     val attrs = Scoring.attrs(spark, pages).cache()
-    // the scorer joins on 64-bit ids (numeric-key pipeline); map urls → ids
-    // the same way the pipeline does (xxhash64(url)), join labels back by id
+    // the scorer joins on 128-bit ids (numeric-key pipeline); map urls → ids
+    // the same way the pipeline does (Blocking.pageIdOf), join labels back by id
     val candidates = labeled.toDF()
-      .withColumn("id1", xxhash64(least(col("url1"), col("url2"))))
-      .withColumn("id2", xxhash64(greatest(col("url1"), col("url2"))))
+      .withColumn("id1", graft.blocking.Blocking.pageIdOf(least(col("url1"), col("url2"))))
+      .withColumn("id2", graft.blocking.Blocking.pageIdOf(greatest(col("url1"), col("url2"))))
     // threshold ~0 disarms the phase-1 admission gate (it is derived from
     // the threshold) so calibration sees UNGATED feature distributions;
     // the z-coefficients stay the committed defaults

@@ -24,14 +24,20 @@ case class BlockEntry(block_key: String, url: String)
 /** Candidate pair emitted by block-local self-join, canonical url1 < url2. */
 case class CandidatePair(url1: String, url2: String)
 
+/** 128-bit page id: two independent xxhash64 lanes over the url. 64 bits is
+  * birthday-bound at the 10^12-page north star (collisions EXPECTED, silently
+  * merging clusters); 128 bits keeps P(any collision) < 10^-14 while the
+  * struct still hashes/compares natively in shuffles, joins, and CC. */
+case class PageId(hi: Long, lo: Long)
+
 /** Per-page scoring attributes, computed once (not per pair). `id` is the
-  * 64-bit page id (xxhash64(url)); `vec` is the composed frozen-embedding
+  * 128-bit page id ([[PageId]]); `vec` is the composed frozen-embedding
   * vector (reference composition 'average', Deeper.py:233-236, via broadcast
   * lookup). `price_isna` / `text_isna` are the P7 missingness indicators the
   * scorer uses to gate the numeric and text/embedding similarity families
   * (the reference emits an isna column per converted field,
   * Deeper.py:139-149; text_isna = the page normalized to zero tokens). */
-case class ScoreAttrs(id: Long, url: String, title: String, prefix: String,
+case class ScoreAttrs(id: PageId, url: String, title: String, prefix: String,
                       price: Double, price_isna: Int, text_isna: Int,
                       vec: Array[Float], img: Array[Float])
 
@@ -42,7 +48,7 @@ case class ScoreAttrs(id: Long, url: String, title: String, prefix: String,
   * + min-max-ratio numeric sims on price (Deeper.py:327-343), cosine +
   * inverse-L1 + inverse-L2 over pooled media vectors (the image-augmented
   * head, deeper_models.py:632-655; zero when either side lacks media). */
-case class ScoredPair(id1: Long, id2: Long, url1: String, url2: String,
+case class ScoredPair(id1: PageId, id2: PageId, url1: String, url2: String,
                       jaro_winkler: Double, levenshtein_sim: Double,
                       cosine: Double, inv_l1: Double,
                       num_sim: Double, mmr: Double,

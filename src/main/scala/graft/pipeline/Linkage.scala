@@ -18,10 +18,12 @@ import graft.scoring.Scoring
   * evidenced by an order-independent hash-sum of sha256(text)) is recorded at
   * ingest and re-verifiable at any point.
   *
-  * All inter-stage shuffles move 64-bit ids (xxhash64(url)); urls reappear
-  * only in the scored output and the final cluster mapping. Id uniqueness is
-  * asserted (a 64-bit id is collision-safe to ~10^9 pages; beyond that widen
-  * to 128-bit — the check fails loudly rather than corrupting clusters).
+  * All inter-stage shuffles move 128-bit page ids (Blocking.pageId, two
+  * xxhash64 lanes — collision-safe past 10^12 pages); urls reappear only in
+  * the scored output and the final cluster mapping. Id uniqueness is still
+  * asserted: at 128 bits a duplicate id means duplicate input urls (a data-
+  * quality fault), and the check fails loudly rather than corrupting
+  * clusters.
   */
 object Linkage {
 
@@ -174,10 +176,11 @@ object Linkage {
     val attrs = track("attrs", store.stage("attrs", fp) {
       Scoring.attrsFromProjected(spark, projected, cfg.composition).toDF()
     })
-    // id-collision guard: 64-bit ids must be unique or clusters would merge silently
+    // id-uniqueness guard: with 128-bit ids a duplicate means duplicate
+    // input urls (dedupe upstream), not hash luck — fail loudly either way
     val idCheck = attrs.agg(count(lit(1)).as("n"), countDistinct(col("id")).as("d")).collect()(0)
     require(idCheck.getLong(0) == idCheck.getLong(1),
-      s"xxhash64(url) collision detected (${idCheck.getLong(0)} rows, ${idCheck.getLong(1)} ids): widen page id to 128-bit")
+      s"duplicate page id (${idCheck.getLong(0)} rows, ${idCheck.getLong(1)} distinct 128-bit ids): input urls are not unique")
 
     // stage 1b: salted block table (numeric keys)
     val blocks = track("blocks", store.stage("blocks", fp,

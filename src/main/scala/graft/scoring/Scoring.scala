@@ -225,7 +225,10 @@ object Scoring {
     val bcVocab = spark.sparkContext.broadcast(Fixture.vocabIndex)
     val bcEmb = spark.sparkContext.broadcast(Fixture.embeddingMatrix)
     val bcIdf = spark.sparkContext.broadcast(idfWeights)
-    projected.as[(Long, String, String, Double, Int, Array[Float])].mapPartitions { it =>
+    projected
+      .select("id", "url", "norm", "price", "price_isna", "img") // snapshot frames may carry extras (warc_day)
+      .as[(graft.core.PageId, String, String, Double, Int, Array[Float])]
+      .mapPartitions { it =>
       val vocab = bcVocab.value
       val emb = bcEmb.value
       val idf = bcIdf.value

@@ -54,16 +54,19 @@ class BlockingSpec extends SparkSpec {
       ("https://b.com/2", text), // identical text, different host
       ("https://c.com/3", "completely unrelated content about database query engines")
     ).toDF("url", "text")
-    val ids = pages.select(col("url"), Blocking.pageId.as("id"))
-      .as[(String, Long)].collect().toMap
+    val ids = pages.withColumn("id", Blocking.pageId)
+      .select(col("url"), col("id.hi"), col("id.lo"))
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
     val cfg = Blocking.Config()
     val bt = Blocking.blockTable(pages, cfg)
     // drop the (bands+1)-th key per page (domain key) by excluding keys held
     // by a single page-with-domain pattern: instead, group and inspect
     val grouped = bt.groupBy("block_key").agg(collect_set("id").as("ids"))
+    def idLit(u: String) = // struct literal with matching field names
+      struct(lit(ids(u)._1).as("hi"), lit(ids(u)._2).as("lo"))
     def sharedKeys(u1: String, u2: String): Long =
-      grouped.where(array_contains(col("ids"), ids(u1)) &&
-        array_contains(col("ids"), ids(u2))).count()
+      grouped.where(array_contains(col("ids"), idLit(u1)) &&
+        array_contains(col("ids"), idLit(u2))).count()
     assert(sharedKeys("https://a.com/1", "https://b.com/2") == cfg.bands.toLong)
     assert(sharedKeys("https://a.com/1", "https://c.com/3") == 0L)
   }

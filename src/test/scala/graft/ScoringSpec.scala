@@ -16,8 +16,8 @@ class ScoringSpec extends SparkSpec {
   private def scoredWithLabels(comp: Scoring.Composition) = {
     val attrs = Scoring.attrs(spark, pages, comp)
     val withIds = labeled.toDF()
-      .withColumn("id1", xxhash64(col("url1")))
-      .withColumn("id2", xxhash64(col("url2")))
+      .withColumn("id1", graft.blocking.Blocking.pageIdOf(col("url1")))
+      .withColumn("id2", graft.blocking.Blocking.pageIdOf(col("url2")))
     Scoring.score(spark, withIds.select("id1", "id2"), attrs)
       .toDF().drop("url1", "url2")
       .join(withIds, Seq("id1", "id2"))
@@ -121,7 +121,8 @@ class ScoringSpec extends SparkSpec {
     assert(attrs.where($"url" === "https://x.com/c").collect()(0).price_isna == 1)
     assert(attrs.where($"url" === "https://x.com/a").collect()(0).price_isna == 0)
     def pair(u1: String, u2: String) = Seq((u1, u2)).toDF("u1", "u2")
-      .select(xxhash64(least($"u1", $"u2")).as("id1"), xxhash64(greatest($"u1", $"u2")).as("id2"))
+      .select(graft.blocking.Blocking.pageIdOf(least($"u1", $"u2")).as("id1"),
+        graft.blocking.Blocking.pageIdOf(greatest($"u1", $"u2")).as("id2"))
     val w = Scoring.Weights(threshold = 1e-12) // disarm gate: observe raw features
     // both unpriced: gated to 0, NOT exp(0) = 1
     val cd = Scoring.score(spark, pair("https://x.com/c", "https://x.com/d"), attrs, w).collect()(0)
@@ -145,7 +146,8 @@ class ScoringSpec extends SparkSpec {
     assert(attrs.where($"url" === "https://x.com/e1").collect()(0).text_isna == 1)
     assert(attrs.where($"url" === "https://x.com/a").collect()(0).text_isna == 0)
     def pair(u1: String, u2: String) = Seq((u1, u2)).toDF("u1", "u2")
-      .select(xxhash64(least($"u1", $"u2")).as("id1"), xxhash64(greatest($"u1", $"u2")).as("id2"))
+      .select(graft.blocking.Blocking.pageIdOf(least($"u1", $"u2")).as("id1"),
+        graft.blocking.Blocking.pageIdOf(greatest($"u1", $"u2")).as("id2"))
     val w = Scoring.Weights(threshold = 1e-12) // disarm gate: observe raw features
     // both empty: jw("","") = 1 and inv_l1(0,0) = exp(0) = 1 would fake a
     // perfect match between two EMPTY pages — all four must be gated to 0
@@ -166,8 +168,8 @@ class ScoringSpec extends SparkSpec {
     assert(w.bias == Scoring.Weights().withoutMedia.bias)
     val attrs = Scoring.attrs(spark, textOnly)
     val withIds = labeled.toDF()
-      .withColumn("id1", xxhash64(col("url1")))
-      .withColumn("id2", xxhash64(col("url2")))
+      .withColumn("id1", graft.blocking.Blocking.pageIdOf(col("url1")))
+      .withColumn("id2", graft.blocking.Blocking.pageIdOf(col("url2")))
     val s = Scoring.score(spark, withIds.select("id1", "id2"), attrs, w)
       .toDF().drop("url1", "url2")
       .join(withIds, Seq("id1", "id2")).cache()
@@ -183,8 +185,8 @@ class ScoringSpec extends SparkSpec {
     // identical price across dup copies → num_sim = exp(0) = 1 for positives
     val attrs = Scoring.attrs(spark, pages)
     val pos = labeled.where($"label" === 1).limit(50).toDF()
-      .withColumn("id1", xxhash64(col("url1")))
-      .withColumn("id2", xxhash64(col("url2")))
+      .withColumn("id1", graft.blocking.Blocking.pageIdOf(col("url1")))
+      .withColumn("id2", graft.blocking.Blocking.pageIdOf(col("url2")))
     val scored = Scoring.score(spark, pos.select("id1", "id2"), attrs)
     assert(scored.where(abs($"num_sim" - 1.0) > 1e-9).count() == 0)
   }
