@@ -87,12 +87,18 @@ object LinkageMain {
           pages.where(!col("url").endsWith("/c0")))
       case path => (pages, spark.read.parquet(path))
     }
-    val acc = spark.sparkContext.longAccumulator("two_table_pairs")
     val t0 = System.nanoTime()
-    val matches = Linkage.runTwoTable(spark, left, right,
-      weights = weights, composition = composition, pairsScored = Some(acc))
-    val nMatches = matches.count()
+    // snapshot-staged (resumable) two-table pipeline — same manifest
+    // protocol as self-linkage; --resume skips completed stages
+    val result = Linkage.runTwoTableStaged(spark, left, right,
+      Linkage.TwoTableConfig(
+        workDir = opts.getOrElse("out", "/tmp/graft-linkage") + "/two_table",
+        resume = opts.contains("resume"),
+        weights = weights, composition = composition))
+    val matches = result.matches
+    val nMatches = result.counters.getOrElse("matches.rows", matches.count())
     val secs = (System.nanoTime() - t0) / 1e9
+    val pairsScored = result.counters.getOrElse("scored.pairs_scored", 0L)
     val evalJson =
       if (input.startsWith("fixture:") && rightSpec == "split" && opts.contains("eval")) {
         val pt = Fixture.pagesWithTruth(spark, input.stripPrefix("fixture:").toLong)
@@ -110,7 +116,9 @@ object LinkageMain {
         f""","precision":$p%.6f,"recall":$r%.6f,"f1":$f1%.6f,"tp":$tp,"fp":$fp,"fn":$fn"""
       } else ""
     println(s"""{"mode":"two_table","left_right":"$rightSpec","matches":$nMatches,""" +
-      s""""pairs_scored":${acc.value},"seconds":$secs""" + evalJson + "}")
+      s""""pairs_scored":$pairsScored,""" +
+      s""""resumed_stages":"${result.resumedStages.mkString(",")}",""" +
+      s""""seconds":$secs""" + evalJson + "}")
   }
 
   @annotation.tailrec

@@ -63,6 +63,49 @@ class TwoTableSpec extends SparkSpec {
       "url2 must always come from the RIGHT (copies) table")
   }
 
+  test("staged two-table run matches the in-memory result; kill/resume recomputes only missing stages") {
+    val workDir = java.nio.file.Files.createTempDirectory("graft-tt").toString
+    val cfg = Linkage.TwoTableConfig(workDir = workDir)
+    val staged = Linkage.runTwoTableStaged(spark, left, right, cfg)
+    val (f1, tp, fp, fn) = f1Of(staged.matches)
+    info(f"staged: F1=$f1%.4f tp=$tp fp=$fp fn=$fn")
+    assert(f1 >= 0.99, s"staged two-table F1 $f1 below gate")
+    assert(staged.resumedStages.isEmpty)
+    // lineage counters present per side + for the pair/score stages
+    assert(staged.counters.get("ingest_l.sha_sum").isDefined)
+    assert(staged.counters.get("ingest_r.sha_sum").isDefined)
+    assert(staged.counters.getOrElse("blocks_l.blocks_built", 0L) > 0)
+    assert(staged.counters.getOrElse("scored.pairs_scored", 0L) > 0)
+    // in-memory and staged pipelines agree exactly
+    val mem = Linkage.runTwoTable(spark, left, right)
+      .select("url1", "url2").orderBy("url1", "url2").collect()
+    val stg = staged.matches.select("url1", "url2").orderBy("url1", "url2").collect()
+    assert(stg.sameElements(mem))
+
+    // full resume: nothing recomputes, identical output
+    val resumedAll = Linkage.runTwoTableStaged(spark, left, right, cfg.copy(resume = true))
+    assert(resumedAll.resumedStages == Seq("projected_l", "projected_r",
+      "attrs_l", "attrs_r", "blocks_l", "blocks_r", "pairs", "scored", "matches"))
+    assert(resumedAll.matches.select("url1", "url2")
+      .orderBy("url1", "url2").collect().sameElements(stg))
+
+    // kill/resume: only stages missing from the partial copy recompute —
+    // notably the expensive A×B pair stage is NOT re-joined
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-tt-partial").toString
+    val full = new java.io.File(workDir)
+    for (stage <- Seq("ingest_l", "ingest_r", "projected_l", "projected_r",
+        "attrs_l", "attrs_r", "blocks_l", "blocks_r", "pairs")) {
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(full, stage), new java.io.File(dir2, stage))
+    }
+    val partial = Linkage.runTwoTableStaged(spark, left, right,
+      cfg.copy(workDir = dir2, resume = true))
+    assert(partial.resumedStages == Seq("projected_l", "projected_r",
+      "attrs_l", "attrs_r", "blocks_l", "blocks_r", "pairs"))
+    assert(partial.matches.select("url1", "url2")
+      .orderBy("url1", "url2").collect().sameElements(stg))
+  }
+
   test("planted hot block: cross-join grid bounds tasks, exactly-once coverage") {
     val cap = 64
     val nl = 500L
