@@ -325,6 +325,30 @@ object Blocking {
     (l, r, release)
   }
 
+  /** Incremental candidate pairs for continuous ingest: given the
+    * ACCUMULATED block table (old + newly ingested pages' entries) and the
+    * new batch's page ids, emit exactly the candidate pairs that touch a
+    * new page — old×old pairs are never generated, let alone re-scored.
+    *
+    * Shape: the new pages' block entries (a semi-join — tiny vs the
+    * accumulated table) CROSS-join the full accumulated entries through the
+    * salted kL×kR grid, then canonicalize + dedup. Coverage: a pair (a, b)
+    * with b in the newest batch meets exactly at b's batch (a is already
+    * accumulated — including same-batch a); it can never re-emerge later
+    * because both sides are then old. Union over all batches therefore
+    * equals the one-shot [[candidatePairs]] over the final corpus
+    * (maxBlock drops agree: the grid drops on the ACCUMULATED side's block
+    * size, the same size the one-shot run sees). Proven in StreamingSpec. */
+  def deltaPairs(accumBlocks: DataFrame, newIds: DataFrame,
+                 cfg: Config = Config()): DataFrame =
+    saltedCrossJoinPairs(
+        accumBlocks.join(newIds.select("id").distinct(), Seq("id"), "left_semi"),
+        accumBlocks, cfg.cap, cfg.maxBlock)
+      .where(col("id1") =!= col("id2"))
+      .select(least(col("id1"), col("id2")).as("id1"),
+        greatest(col("id1"), col("id2")).as("id2"))
+      .dropDuplicates("id1", "id2")
+
   /** ER candidate pairs: the salted self-join over the MinHash+domain block
     * table, globally deduped (a pair found by several keys is emitted once —
     * SURVEY §4.3.2: plain dropDuplicates wins). */

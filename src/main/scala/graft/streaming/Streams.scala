@@ -39,10 +39,13 @@ object Streams {
     * MinHash+domain block-key derivation the batch pipeline uses — both are
     * pure per-row transforms, so the incrementally-appended block table is
     * IDENTICAL to the one-shot batch table over the same pages (pinned by
-    * StreamingSpec). Downstream stages (salted pair join, scoring, CC) run
-    * in batch over the accumulated snapshot: blocks build as pages arrive,
-    * the expensive joins run on schedule — no reprocessing of the raw html
-    * at join time. On a batch frame this is exactly
+    * StreamingSpec). Downstream stages run in batch over the accumulated
+    * snapshot ON SCHEDULE, and INCREMENTALLY: each scheduled run feeds the
+    * new batch's page ids to `Blocking.deltaPairs`, which joins only the
+    * new pages' block entries against the accumulated table — old×old
+    * pairs are never regenerated or re-scored, and the union of per-batch
+    * delta pairs provably equals the one-shot candidate set
+    * (StreamingSpec "incremental ingest"). On a batch frame this is exactly
     * projected → blockTable (watermark/dedup degrade to plain distinct). */
   def ingestBlockTable(pages: DataFrame,
                        cfg: graft.blocking.Blocking.Config = graft.blocking.Blocking.Config(),

@@ -146,6 +146,63 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("incremental ingest: batches score only new-page pairs; union equals the one-shot run") {
+    import graft.blocking.Blocking
+    import graft.scoring.Scoring
+    val cfg = Blocking.Config()
+    val w = Scoring.Weights()
+    val pages = graft.fixtures.Fixture.pages(spark, 1000).toDF().cache()
+    val chunk1 = pages.where(xxhash64($"url") % 2 === 0).cache()
+    val chunk2 = pages.where(xxhash64($"url") % 2 =!= 0).cache()
+    // accumulated state after each ingest batch (what the scheduled job reads)
+    val proj1 = Scoring.projected(chunk1).localCheckpoint()
+    val projAll = Scoring.projected(pages).localCheckpoint()
+    val blocks1 = Blocking.blockTableFromProjected(proj1, cfg).localCheckpoint()
+    val blocksAll = Blocking.blockTableFromProjected(projAll, cfg).localCheckpoint()
+
+    // batch 1: every page is new; batch 2: only chunk-2 ids are new
+    val pairs1 = Blocking.deltaPairs(blocks1, proj1.select("id"), cfg).cache()
+    val ids2 = Scoring.projected(chunk2).select("id")
+    val pairs2 = Blocking.deltaPairs(blocksAll, ids2, cfg).cache()
+
+    // old×old pairs are NEVER generated by the delta join
+    val oldIds = proj1.select("id")
+    val oldOld = pairs2
+      .join(oldIds.select($"id".as("id1")), Seq("id1"), "left_semi")
+      .join(oldIds.select($"id".as("id2")), Seq("id2"), "left_semi")
+    assert(oldOld.count() == 0, "delta join re-emitted an old×old pair")
+
+    // batches are disjoint and their union IS the one-shot candidate set
+    assert(pairs1.intersect(pairs2).count() == 0)
+    val union = pairs1.unionByName(pairs2)
+    val oneShot = Blocking.candidatePairs(blocksAll, cfg)
+    assert(union.exceptAll(oneShot).count() == 0)
+    assert(oneShot.exceptAll(union).count() == 0)
+
+    // end-to-end: scoring each batch's delta pairs with the attrs available
+    // at that batch, then clustering the accumulated edges, reproduces the
+    // one-shot clusters exactly (average composition attrs are per-page, so
+    // batch-1 scores never change once emitted)
+    val attrs1 = Scoring.attrsFromProjected(spark, proj1)
+    val attrsAll = Scoring.attrsFromProjected(spark, projAll)
+    def edgesOf(p: org.apache.spark.sql.DataFrame, a: org.apache.spark.sql.Dataset[graft.core.ScoreAttrs]) =
+      Scoring.score(spark, p, a, w).toDF().where($"score" >= w.threshold)
+        .select($"id1".as("src"), $"id2".as("dst"))
+    // each scheduled batch materializes its own edges (also dodges the
+    // duplicate observe() metric a single union plan would carry)
+    val allEdges = edgesOf(pairs1, attrs1).localCheckpoint()
+      .unionByName(edgesOf(pairs2, attrsAll).localCheckpoint())
+    val idUrl = attrsAll.toDF().select($"id".as("node"), $"url")
+    val cc = graft.clustering.ConnectedComponents.run(spark, allEdges.localCheckpoint(),
+      nodes = Some(idUrl.select("node")), trackMerges = false)
+    val incClusters = cc.assignments.join(idUrl, "node")
+      .groupBy("root").agg(min("url").as("cluster_id"), collect_set("url").as("members"))
+      .select(explode($"members").as("url"), $"cluster_id")
+    val oneShotClusters = graft.pipeline.Linkage.runLight(spark, pages)
+    assert(incClusters.exceptAll(oneShotClusters).count() == 0)
+    assert(oneShotClusters.exceptAll(incClusters).count() == 0)
+  }
+
   test("stateful sessionization groups events by 30-min gaps") {
     val events = batchEvents.as[Streams.Event]
     val sessions = Streams.sessionize(spark, events).cache()
