@@ -131,7 +131,11 @@ object Blocking {
         val domKey = xxhash64(Normalize.domain(col("url")), substring(norm, 1, 12), lit(DomSeed))
         concat(mh, array(domKey))
       } else mh
-    projected.select(col("id"), explode(keys).as("block_key"))
+    // warc_day passes through (when present) so the blocks SNAPSHOT can be
+    // date-partitioned; the pair-join primitives select their own columns
+    // and never shuffle it
+    val day = if (projected.columns.contains("warc_day")) Seq(col("warc_day")) else Nil
+    projected.select(col("id") +: explode(keys).as("block_key") +: day: _*)
   }
 
   /** Generic salted block-local self-join — THE skew defuser, shared by ER

@@ -65,17 +65,24 @@ class SnapshotStore(spark: SparkSession, root: String, resume: Boolean) {
   /** Run (or resume) a stage. On compute: writes the Parquet snapshot, then
     * derives row counts + per-partition lineage counters from the *written*
     * files (no plan recompute), and marks the manifest complete. On resume:
-    * reads the snapshot back — upstream lineage is fully cut. */
+    * reads the snapshot back — upstream lineage is fully cut.
+    *
+    * `partitionBy` columns (present in the computed frame) become Hive-style
+    * snapshot partitions — a resumed or incremental read with a filter on
+    * them PRUNES at the directory level (PlanSpec pins the pruning). */
   def stage(
       name: String,
       fingerprint: String,
       countersFromWritten: DataFrame => Map[String, Long] = _ => Map.empty,
-      shaCol: Option[String] = None)(compute: => DataFrame): StageOutcome = {
+      shaCol: Option[String] = None,
+      partitionBy: Seq[String] = Nil)(compute: => DataFrame): StageOutcome = {
     if (resume && isComplete(name, fingerprint)) {
       val df = spark.read.parquet(dataPath(name))
       return StageOutcome(df, resumed = true, rows = -1L, counters = Map.empty)
     }
-    compute.write.mode("overwrite").parquet(dataPath(name))
+    val writer = compute.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(dataPath(name))
     val written = spark.read.parquet(dataPath(name))
     val perPart = written.groupBy(spark_partition_id().as("p")).count()
       .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq

@@ -193,10 +193,14 @@ object Linkage {
       counters ++= c.map { case (k, v) => s"$name.$k" -> v }
     }
 
-    val projectedL = track("projected_l", store.stage("projected_l", fp) {
+    val dayPartL = if (left.columns.contains("warc_ts")) Seq("warc_day") else Nil
+    val dayPartR = if (right.columns.contains("warc_ts")) Seq("warc_day") else Nil
+    val projectedL = track("projected_l", store.stage("projected_l", fp,
+      partitionBy = dayPartL) {
       Scoring.projected(left)
     })
-    val projectedR = track("projected_r", store.stage("projected_r", fp) {
+    val projectedR = track("projected_r", store.stage("projected_r", fp,
+      partitionBy = dayPartR) {
       Scoring.projected(right)
     })
 
@@ -218,11 +222,13 @@ object Linkage {
     })
 
     val blocksL = track("blocks_l", store.stage("blocks_l", fp,
-      countersFromWritten = w => Blocking.blockStats(w, cfg.blocking)) {
+      countersFromWritten = w => Blocking.blockStats(w, cfg.blocking),
+      partitionBy = dayPartL) {
       Blocking.blockTableFromProjected(projectedL, cfg.blocking)
     })
     val blocksR = track("blocks_r", store.stage("blocks_r", fp,
-      countersFromWritten = w => Blocking.blockStats(w, cfg.blocking)) {
+      countersFromWritten = w => Blocking.blockStats(w, cfg.blocking),
+      partitionBy = dayPartR) {
       Blocking.blockTableFromProjected(projectedR, cfg.blocking)
     })
 
@@ -276,7 +282,12 @@ object Linkage {
     // normText kernel (the most expensive per-byte op in the pipeline) runs
     // ONCE over the source; the attrs AND blocks stages read this snapshot
     // instead of each re-normalizing 100 TB of text
-    val projected = track("projected", store.stage("projected", fp) {
+    // projected + blocks snapshots partition by crawl date (when the corpus
+    // carries warc_ts): re-runs and incremental ingest prune by day at the
+    // directory level instead of scanning 100 TB of snapshot
+    val dayPart = if (pages.columns.contains("warc_ts")) Seq("warc_day") else Nil
+    val projected = track("projected", store.stage("projected", fp,
+      partitionBy = dayPart) {
       Scoring.projected(pages)
     })
 
@@ -292,7 +303,8 @@ object Linkage {
 
     // stage 1b: salted block table (numeric keys)
     val blocks = track("blocks", store.stage("blocks", fp,
-      countersFromWritten = w => Blocking.blockStats(w, cfg.blocking)) {
+      countersFromWritten = w => Blocking.blockStats(w, cfg.blocking),
+      partitionBy = dayPart) {
       Blocking.blockTableFromProjected(projected, cfg.blocking)
     })
 

@@ -193,13 +193,20 @@ object Scoring {
         coalesce(graft.operators.Multimodal.imageVecFromHtml(col("html"), ImgDim),
           array().cast("array<float>"))
       else array().cast("array<float>")
-    pages.select(
+    // warc_day rides along (when the corpus carries warc_ts) purely as the
+    // snapshot partition key: date-partitioned projected/blocks snapshots
+    // let 100-TB re-runs and incremental ingest prune by crawl date
+    val day =
+      if (pages.columns.contains("warc_ts"))
+        Seq(to_date(col("warc_ts")).as("warc_day"))
+      else Nil
+    pages.select(Seq(
       graft.blocking.Blocking.pageId.as("id"),
       col("url"),
       Normalize.normText(col("text")).as("norm"),
       Normalize.price(col("text")).as("price"),
       Normalize.priceIsna(col("text")).as("price_isna"),
-      img.as("img"))
+      img.as("img")) ++ day: _*)
   }
 
   def attrs(spark: SparkSession, pages: DataFrame,

@@ -87,6 +87,27 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("snapshots partition by warc_day: date-filtered reads prune at the directory level") {
+    import org.apache.spark.sql.functions._
+    val workDir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val store = new graft.lineage.SnapshotStore(spark, workDir, resume = false)
+    val pages = graft.fixtures.Fixture.pages(spark, 100).toDF()
+    store.stage("projected", "fp-test", partitionBy = Seq("warc_day")) {
+      graft.scoring.Scoring.projected(pages)
+    }
+    // Hive-style day directories on disk
+    val dirs = new java.io.File(s"$workDir/projected/data.parquet").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.exists(_.startsWith("warc_day=")), dirs.mkString(","))
+    // a date filter reaches the scan as a PartitionFilter (pruning), not a
+    // post-scan Filter over all data
+    val read = spark.read.parquet(s"$workDir/projected/data.parquet")
+      .where(col("warc_day") === lit("2024-03-01").cast("date"))
+    val plan = formatted(read)
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(_.contains("warc_day")), plan.take(2000))
+  }
+
   test("blocking: minhash bands are one custom expression, not an expr chain") {
     val pages = graft.fixtures.Fixture.pages(spark, 50).toDF()
     val plan = formatted(graft.blocking.Blocking.blockTable(pages))
