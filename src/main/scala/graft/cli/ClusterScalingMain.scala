@@ -11,16 +11,16 @@ import org.apache.spark.sql.SparkSession
   */
 object ClusterScalingMain {
 
-  private def sessionAt(workers: Int): SparkSession = {
+  private def sessionAt(workers: Int, execMemMb: Int): SparkSession = {
     val totalCores = workers * 4
     val s = SparkSession.builder()
-      .master(s"local-cluster[$workers,4,4096]")
+      .master(s"local-cluster[$workers,4,$execMemMb]")
       .appName(s"graft-cluster-scaling-$workers")
       .config("spark.sql.shuffle.partitions", totalCores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.executor.memory", "4g")
+      .config("spark.executor.memory", s"${execMemMb}m")
       // this sandbox's resolv.conf points at a blackhole nameserver; any
       // DNS miss stalls ~5 s per attempt. Pin every address to loopback so
       // driver/executor RPC never consults DNS.
@@ -71,11 +71,14 @@ object ClusterScalingMain {
     // one 100k smoke + `warmupFull` full-size reps discarded, then `reps`
     // measured reps; report min AND last so a non-plateaued leg is visible.
     val warmupFull = args.drop(3).headOption.map(_.toInt).getOrElse(2)
+    // 4g/executor thrashes at 800k pages (BENCH.md: superlinear leg times);
+    // big-page runs pass e.g. 12288 — 8 workers × 12g stays under the box
+    val execMemMb = args.drop(4).headOption.map(_.toInt).getOrElse(4096)
     val results = Seq(baseN, baseN * 4).map { workers =>
       // substrate control adjacent to the leg, at the leg's core count
       val ctl = cpuControl(workers * 4)
       println(f"[scaling] workers=$workers cpu-control(${workers * 4} procs)=$ctl%.2f s")
-      val spark = sessionAt(workers)
+      val spark = sessionAt(workers, execMemMb)
       graft.Bench.erPipeline(spark, 100000L) // smoke: shuffle dirs + codegen
       (1 to warmupFull).foreach { i =>
         val r = graft.Bench.erPipeline(spark, nPages)
