@@ -98,18 +98,27 @@ object Blocking {
   }
 
   /** Seed decorrelating the second id lane from the first (golden-ratio
-    * constant — any fixed odd value works; hashing (url, seed) through
-    * xxhash64 yields a lane independent of xxhash64(url)). */
-  private val IdLoSeed = 0x9E3779B97F4A7C15L
+    * constant — any fixed value distinct from Spark's default 42 works). */
+  private[graft] val IdLoSeed = 0x9E3779B97F4A7C15L
 
   /** 128-bit page id from the url (the join/shuffle key everywhere):
-    * struct(hi = xxhash64(url), lo = xxhash64(url, seed)). Struct keys
-    * hash/compare natively in every Spark shuffle, join, and aggregate. */
+    * struct(hi = xxhash64(url), lo = xxhash64(SEED, url)). Struct keys
+    * hash/compare natively in every Spark shuffle, join, and aggregate.
+    *
+    * SEEDING SUBTLETY (do not "simplify" the argument order): Spark's
+    * multi-arg xxhash64 folds left-to-right with the running hash as the
+    * next seed, so `xxhash64(url, lit(seed))` would be
+    * hashLong(seed, xxhash64(url)) — a pure FUNCTION of the first lane,
+    * carrying zero extra entropy (any hi collision would collide the whole
+    * id). With the literal FIRST, the fold is
+    * hashString(url, seed' = hashLong(IdLoSeed, 42)): the url bytes are
+    * hashed a second, independent time under a different seed — a genuine
+    * second lane. PageIdSpec pins lo ≠ f(hi). */
   def pageId: org.apache.spark.sql.Column = pageIdOf(col("url"))
 
   /** [[pageId]] over an explicit url column (tests, label→id mapping). */
   def pageIdOf(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    struct(xxhash64(url).as("hi"), xxhash64(url, lit(IdLoSeed)).as("lo"))
+    struct(xxhash64(url).as("hi"), xxhash64(lit(IdLoSeed), url).as("lo"))
 
   /** Block table: (block_key: long, id: long). One row per (page, key);
     * bands+1 keys per page. The MinHash signature is one codegen'd custom
@@ -340,9 +349,19 @@ object Blocking {
     * with b in the newest batch meets exactly at b's batch (a is already
     * accumulated — including same-batch a); it can never re-emerge later
     * because both sides are then old. Union over all batches therefore
-    * equals the one-shot [[candidatePairs]] over the final corpus
-    * (maxBlock drops agree: the grid drops on the ACCUMULATED side's block
-    * size, the same size the one-shot run sees). Proven in StreamingSpec. */
+    * equals the one-shot [[candidatePairs]] over the final corpus for every
+    * block whose size never CROSSES maxBlock mid-stream (StreamingSpec).
+    *
+    * maxBlock semantics are MONOTONE-EMISSION: each batch drops blocks that
+    * are over maxBlock at that batch's accumulated size, but pairs emitted
+    * while the block was still small STAND — an incremental system does not
+    * retract already-scored pairs. A block that grows past maxBlock during
+    * ingestion therefore contributes the pairs from its small era (the
+    * one-shot run over the final corpus would drop it entirely); once over
+    * the cap it contributes nothing further. Callers needing one-shot drop
+    * parity reconcile at cluster time: filter accumulated pairs against the
+    * final over-cap block list before CC (blockStats exposes it). Pinned by
+    * BlockingSpec "deltaPairs maxBlock crossing". */
   def deltaPairs(accumBlocks: DataFrame, newIds: DataFrame,
                  cfg: Config = Config()): DataFrame =
     saltedCrossJoinPairs(

@@ -68,8 +68,19 @@ object CalibrateMain {
       println(s"label=$lbl score quantiles(0.1%,1%,50%,99%,99.9%): ${q.mkString(", ")}")
     }
 
-    val w = Scoring.Weights()
-    val conf = scored.agg(
+    // evaluate the confusion at the profile being FITTED: in textonly mode
+    // that is withoutMedia (bias −9.4), not the media-calibrated default —
+    // otherwise the printed tp/fp/fn describe an operating point that will
+    // never run on this corpus shape
+    val w = if (textOnly) Scoring.Weights().withoutMedia else Scoring.Weights()
+    println(s"=== confusion at profile: ${if (textOnly) "withoutMedia" else "default"} " +
+      s"(bias ${w.bias}, threshold ${w.threshold})")
+    // scores above were computed at bias −11 (threshold 1e-12 scorer); shift
+    // by the profile's bias delta in logit space before thresholding
+    val biasDelta = w.bias - Scoring.Weights().bias
+    val z = log(col("score") / (lit(1.0) - col("score"))) + lit(biasDelta)
+    val profScore = lit(1.0) / (lit(1.0) + exp(-z))
+    val conf = scored.withColumn("score", profScore).agg(
       sum(when($"score" >= w.threshold && $"label" === 1, 1).otherwise(0)).as("tp"),
       sum(when($"score" >= w.threshold && $"label" === 0, 1).otherwise(0)).as("fp"),
       sum(when($"score" < w.threshold && $"label" === 1, 1).otherwise(0)).as("fn"),

@@ -50,7 +50,7 @@ object LinkageMain {
       composition = composition)
 
     opts.get("right").foreach { rightSpec =>
-      runTwoTable(spark, opts, input, rightSpec, pages, weights, composition)
+      runTwoTable(spark, opts, input, rightSpec, pages, composition)
       spark.stop()
       return
     }
@@ -78,7 +78,6 @@ object LinkageMain {
   private def runTwoTable(spark: SparkSession, opts: Map[String, String],
                           input: String, rightSpec: String,
                           pages: org.apache.spark.sql.DataFrame,
-                          weights: graft.scoring.Scoring.Weights,
                           composition: graft.scoring.Scoring.Composition): Unit = {
     import org.apache.spark.sql.functions._
     val (left, right) = rightSpec match {
@@ -87,6 +86,12 @@ object LinkageMain {
           pages.where(!col("url").endsWith("/c0")))
       case path => (pages, spark.read.parquet(path))
     }
+    // re-profile from BOTH sides: image features fire only when both tables
+    // carry media, so a media-less --right table must hand the image
+    // family's bias headroom back even if the left table has html
+    val base = graft.scoring.Scoring.Weights.profileFor(left, right)
+    val weights = opts.get("threshold")
+      .map(t => base.copy(threshold = t.toDouble)).getOrElse(base)
     val t0 = System.nanoTime()
     // snapshot-staged (resumable) two-table pipeline — same manifest
     // protocol as self-linkage; --resume skips completed stages

@@ -41,9 +41,16 @@ object Linkage {
       counters: Map[String, Long],
       resumedStages: Seq[String])
 
+  /** Bump whenever a snapshot's SCHEMA changes incompatibly (id widening,
+    * new attrs column, …): folded into [[fingerprint]] so a --resume against
+    * a workdir written by an older build recomputes cleanly instead of
+    * crashing mid-pipeline on an unresolved column. v4 = 128-bit PageId +
+    * text_isna + warc_day partitions. */
+  val SnapshotSchemaVersion = 4
+
   /** Stable fingerprint of the run configuration (keys resume validity). */
   def fingerprint(cfg: Config): String = {
-    val s = s"b=${cfg.blocking.bands},r=${cfg.blocking.rows},seed=${cfg.blocking.seed}," +
+    val s = s"sv=$SnapshotSchemaVersion,b=${cfg.blocking.bands},r=${cfg.blocking.rows},seed=${cfg.blocking.seed}," +
       s"cap=${cfg.blocking.cap},max=${cfg.blocking.maxBlock},dom=${cfg.blocking.domainKey}," +
       s"w=${cfg.weights},comp=${cfg.composition}"
     java.lang.Long.toHexString(
@@ -220,6 +227,14 @@ object Linkage {
     val attrsR = track("attrs_r", store.stage("attrs_r", fp) {
       Scoring.attrsWithIdf(spark, projectedR, idfR).toDF()
     })
+    // id-uniqueness guard per side (same contract as run()): a duplicate id
+    // means duplicate input urls — the attrs joins would silently fan out
+    // every candidate pair and inflate matches/counters
+    for ((name, a) <- Seq("attrs_l" -> attrsL, "attrs_r" -> attrsR)) {
+      val c = a.agg(count(lit(1)).as("n"), countDistinct(col("id")).as("d")).collect()(0)
+      require(c.getLong(0) == c.getLong(1),
+        s"duplicate page id in $name (${c.getLong(0)} rows, ${c.getLong(1)} distinct): input urls are not unique")
+    }
 
     val blocksL = track("blocks_l", store.stage("blocks_l", fp,
       countersFromWritten = w => Blocking.blockStats(w, cfg.blocking),

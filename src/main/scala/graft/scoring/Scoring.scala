@@ -86,11 +86,24 @@ object Scoring {
       w
     }
 
-    /** [[profileFor]] from the input frame's shape: media needs an `html`
-      * column (the pooling source); price extraction reads `text`. */
+    /** [[profileFor]] from the input frame's SHAPE. Only the media family is
+      * schema-detectable (pooling needs an `html` column); price presence is
+      * a CONTENT property (a corpus whose text never carries extractable
+      * prices still has a `text` column), so the price profile is never
+      * auto-selected — callers who know their corpus is priceless apply
+      * [[Weights.withoutPrice]] explicitly. */
     def profileFor(pages: org.apache.spark.sql.DataFrame): Weights =
-      profileFor(hasPrice = pages.columns.contains("text"),
-        hasMedia = pages.columns.contains("html"))
+      profileFor(hasPrice = true, hasMedia = pages.columns.contains("html"))
+
+    /** Two-table profile: the image features fire only when BOTH sides carry
+      * media (the bothImg gate), so the media family is active iff both
+      * tables have an `html` column — profiling from the left table alone
+      * would keep the media-calibrated bias while every image feature is
+      * zero, silently dropping cross-table matches. */
+    def profileFor(left: org.apache.spark.sql.DataFrame,
+                   right: org.apache.spark.sql.DataFrame): Weights =
+      profileFor(hasPrice = true,
+        hasMedia = left.columns.contains("html") && right.columns.contains("html"))
   }
 
   val LevCap = 128 // chars of normalized prefix entering edit distance (cost control)

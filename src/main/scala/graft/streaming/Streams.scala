@@ -44,8 +44,10 @@ object Streams {
     * new batch's page ids to `Blocking.deltaPairs`, which joins only the
     * new pages' block entries against the accumulated table — old×old
     * pairs are never regenerated or re-scored, and the union of per-batch
-    * delta pairs provably equals the one-shot candidate set
-    * (StreamingSpec "incremental ingest"). On a batch frame this is exactly
+    * delta pairs equals the one-shot candidate set for every block that
+    * never crosses maxBlock mid-stream (StreamingSpec "incremental
+    * ingest"; crossing blocks follow monotone-emission semantics — see
+    * Blocking.deltaPairs). On a batch frame this is exactly
     * projected → blockTable (watermark/dedup degrade to plain distinct). */
   def ingestBlockTable(pages: DataFrame,
                        cfg: graft.blocking.Blocking.Config = graft.blocking.Blocking.Config(),

@@ -79,6 +79,22 @@ class BlockingSpec extends SparkSpec {
     assert(nPairs > 10000, s"suspiciously few candidates: $nPairs")
   }
 
+  test("deltaPairs maxBlock crossing: monotone emission — small-era pairs stand, over-cap era emits nothing") {
+    val cfg = Blocking.Config(cap = 64, maxBlock = 4)
+    def entries(ids: Seq[Long]) = ids.map(i => (7L, i)).toDF("block_key", "id")
+    // batch 1: block has 3 members (≤ maxBlock) → all 3 pairs emitted
+    val b1 = Blocking.deltaPairs(entries(Seq(1, 2, 3)), Seq(1L, 2L, 3L).toDF("id"), cfg)
+    assert(b1.count() == 3)
+    // batch 2: block grows to 6 (> maxBlock) → the delta join drops it:
+    // NOTHING new, and the old 3 pairs are never retracted (monotone)
+    val b2 = Blocking.deltaPairs(entries(Seq(1, 2, 3, 4, 5, 6)), Seq(4L, 5L, 6L).toDF("id"), cfg)
+    assert(b2.count() == 0, "over-cap block leaked new pairs")
+    // the one-shot run over the final corpus drops the block entirely —
+    // the union is a documented superset exactly when a block CROSSES the
+    // cap mid-stream (pairs from its small era)
+    assert(Blocking.candidatePairs(entries(Seq(1, 2, 3, 4, 5, 6)), cfg).count() == 0)
+  }
+
   test("salted-join entries cache auto-releases after the first action") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

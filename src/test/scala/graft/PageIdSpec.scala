@@ -25,6 +25,21 @@ class PageIdSpec extends SparkSpec {
     assert(ids(0)._1 != ids(0)._2) // lanes differ (independent seeds)
   }
 
+  test("lo lane is NOT a deterministic fold of hi (the argument-order bug)") {
+    // xxhash64(url, lit(seed)) would fold to hashLong(seed, hi) — a pure
+    // function of the first lane, i.e. a fake second lane where every hi
+    // collision collides the whole 128-bit id. Pin lo ≠ hashLong(seed, hi)
+    // for a spread of urls so that exact regression can never return.
+    val rows = (0 until 50).map(i => s"https://site$i.example/p/$i").toDF("url")
+      .select(Blocking.pageId.as("id"))
+      .select(col("id.hi"), col("id.lo")).as[(Long, Long)].collect()
+    val folded = rows.count { case (hi, lo) =>
+      lo == org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashLong(Blocking.IdLoSeed, hi)
+    }
+    assert(folded == 0, s"$folded/50 lo lanes are a pure function of hi — zero extra entropy")
+  }
+
   test("salted self-join operates on struct ids: hot block, exact coverage, canonical order") {
     val n = 120
     // one hot block whose members differ ONLY in the low lane — exercises
