@@ -11,6 +11,12 @@ import graft.pipeline.Linkage
   *   LinkageMain --input <pages.parquet | fixture:N> --out <workDir>
   *               [--resume] [--parallelism N] [--threshold T]
   *               [--right <pages.parquet | split>]
+  *               [--embeddings <vocab+matrix.parquet>]
+  *
+  * `--embeddings` points the scorer at a REAL frozen-embedding artifact — a
+  * Parquet table (token, id, vector), the engine's form of the reference's
+  * pickled vocab + fastText matrix (create_map_matrix.py:10-39). Omitted →
+  * the deterministic fixture artifact (tests/benchmarks only).
   *
   * `--right` switches to TWO-TABLE linkage (the reference's set1-vs-set2
   * deployment): `--right <path>` links --input against that table;
@@ -46,11 +52,14 @@ object LinkageMain {
       case Some("idf") => graft.scoring.Scoring.Idf
       case _ => graft.scoring.Scoring.Average
     }
+    val embeddings = opts.get("embeddings")
+      .map(p => graft.scoring.EmbeddingModel.fromParquet(spark, p))
+      .getOrElse(graft.scoring.EmbeddingModel.fixture)
     val cfg = Linkage.Config(workDir = out, resume = resume, weights = weights,
-      composition = composition)
+      composition = composition, embeddings = embeddings)
 
     opts.get("right").foreach { rightSpec =>
-      runTwoTable(spark, opts, input, rightSpec, pages, composition)
+      runTwoTable(spark, opts, input, rightSpec, pages, composition, embeddings)
       spark.stop()
       return
     }
@@ -78,7 +87,8 @@ object LinkageMain {
   private def runTwoTable(spark: SparkSession, opts: Map[String, String],
                           input: String, rightSpec: String,
                           pages: org.apache.spark.sql.DataFrame,
-                          composition: graft.scoring.Scoring.Composition): Unit = {
+                          composition: graft.scoring.Scoring.Composition,
+                          embeddings: graft.scoring.EmbeddingModel): Unit = {
     import org.apache.spark.sql.functions._
     val (left, right) = rightSpec match {
       case "split" => // fixture benchmark: canonical copies vs duplicates
@@ -99,7 +109,7 @@ object LinkageMain {
       Linkage.TwoTableConfig(
         workDir = opts.getOrElse("out", "/tmp/graft-linkage") + "/two_table",
         resume = opts.contains("resume"),
-        weights = weights, composition = composition))
+        weights = weights, composition = composition, embeddings = embeddings))
     val matches = result.matches
     val nMatches = result.counters.getOrElse("matches.rows", matches.count())
     val secs = (System.nanoTime() - t0) / 1e9

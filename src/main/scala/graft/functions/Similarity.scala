@@ -460,7 +460,11 @@ object Similarity {
 
   /** Sign-random-projection LSH bucket (nBits ≤ 32) for embedding vectors:
     * bit b = sign(v · h_b) with h_b a seeded deterministic hyperplane. Used to
-    * bucket ANN / embedding near-dup search at scale. */
+    * bucket ANN / embedding near-dup search at scale. Float-element vectors;
+    * [[srpBucketDouble]] is the array<double> kernel (SrpBucketExpr picks by
+    * element type — an unconditional getFloat over UnsafeArrayData double
+    * storage reads 4-byte halves of 8-byte lanes: deterministic garbage
+    * buckets, i.e. silent recall loss). */
   def srpBucket(v: ArrayData, nBits: Int, seed: Long): Int = {
     val n = v.numElements()
     val planes = srpPlanes(seed, nBits, n)
@@ -471,6 +475,25 @@ object Similarity {
       var s = 0.0
       var i = 0
       while (i < n) { s += v.getFloat(i).toDouble * h(i); i += 1 }
+      if (s >= 0) out |= (1 << bit)
+      bit += 1
+    }
+    out
+  }
+
+  /** [[srpBucket]] over array<double> vectors. Same planes, so a float vector
+    * and its double widening land in the same bucket (sign pattern is
+    * identical up to ties measure-zero in the plane distribution). */
+  def srpBucketDouble(v: ArrayData, nBits: Int, seed: Long): Int = {
+    val n = v.numElements()
+    val planes = srpPlanes(seed, nBits, n)
+    var out = 0
+    var bit = 0
+    while (bit < nBits) {
+      val h = planes(bit)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += v.getDouble(i) * h(i); i += 1 }
       if (s >= 0) out |= (1 << bit)
       bit += 1
     }

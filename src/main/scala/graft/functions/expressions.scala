@@ -160,15 +160,25 @@ case class AvgPoolExpr(child: Expression, dim: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** srp_bucket(array<float>) -> int: sign-random-projection LSH bucket for
-  * embedding vectors (ANN / near-dup blocking at scale). */
+/** srp_bucket(array<float|double>) -> int: sign-random-projection LSH bucket
+  * for embedding vectors (ANN / near-dup blocking at scale). Kernel picked by
+  * element type, like [[CosineSimExpr]] — getFloat over double storage would
+  * read 4-byte halves of 8-byte lanes and emit garbage buckets. */
 case class SrpBucketExpr(child: Expression, nBits: Int, seed: Long) extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
-  override protected def nullSafeEval(v: Any): Any =
-    Similarity.srpBucket(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], nBits, seed)
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private def fn: String = if (isFloat) "srpBucket" else "srpBucketDouble"
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (isFloat) Similarity.srpBucket(a, nBits, seed)
+    else Similarity.srpBucketDouble(a, nBits, seed)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.Similarity.srpBucket($c, $nBits, ${seed}L)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Similarity.$fn($c, $nBits, ${seed}L)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

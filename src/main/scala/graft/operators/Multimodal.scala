@@ -18,24 +18,49 @@ object Multimodal {
                       width: Int, height: Int)
   case class MediaFeatures(id: Long, dim: Int, features: Array[Float])
 
+  private val DataUriRegex = "data:image/[a-zA-Z]+;base64,([A-Za-z0-9+/=]+)"
+
   /** First base64 data-URI image payload embedded in an html byte column
     * (the web-native media carrier) as decoded bytes; empty binary when the
-    * page embeds no image. Pure codegen expression chain — no UDF. */
+    * page embeds no image. Pure codegen expression chain — no UDF.
+    * Single-image convenience — the scorer consumes [[imageVecFromHtml]],
+    * which pools the page's full image SET. */
   def dataUriPayload(html: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    unbase64(regexp_extract(decode(html, "UTF-8"),
-      "data:image/[a-zA-Z]+;base64,([A-Za-z0-9+/=]+)", 1))
+    unbase64(regexp_extract(decode(html, "UTF-8"), DataUriRegex, 1))
 
-  /** html → pooled image feature vector for the ER scorer (M9): extract the
-    * embedded image, block-average-pool it to `dim` centered floats
-    * (graft.functions.Similarity.avgPool). The reference feeds precomputed
-    * per-image CNN features through the same dense head as text features
-    * (deeper_models.py:603-655, projection :627-630); this is that column,
-    * with the CNN replaced by the deterministic pooling featurizer (no
-    * image runtime ships offline — kernel swap is one line in a real
-    * deployment, the plumbing and fusion are the product). Empty array when
-    * the page has no image (the scorer zero-gates image features on it). */
-  def imageVecFromHtml(html: org.apache.spark.sql.Column, dim: Int = 32): org.apache.spark.sql.Column =
-    graft.functions.GraftFunctions.avg_pool_embed(dataUriPayload(html), dim)
+  /** ALL embedded data-URI image payloads of a page, each featurized to a
+    * `dim`-float pooled vector (empty array when the page embeds none).
+    * Degenerate payloads that decode to zero bytes (e.g. a bare padding
+    * char) pool to the empty vector and are filtered — they would otherwise
+    * null-poison the element-wise mean in [[imageVecFromHtml]]. */
+  def imageVecsFromHtml(html: org.apache.spark.sql.Column, dim: Int = 32): org.apache.spark.sql.Column =
+    filter(
+      transform(
+        regexp_extract_all(decode(html, "UTF-8"), lit(DataUriRegex), lit(1)),
+        p => graft.functions.GraftFunctions.avg_pool_embed(unbase64(p), dim)),
+      v => size(v) > 0)
+
+  /** html → pooled image feature vector for the ER scorer (M9): extract
+    * EVERY embedded image, block-average-pool each to `dim` centered floats
+    * (graft.functions.Similarity.avgPool), then element-wise mean across the
+    * page's image set. The reference featurizes a record's whole image set —
+    * every image gets CNN features (imagess/dir_image.py:94-152) and
+    * training draws from the set (train_deeper.py:59-70) — so a one-image
+    * summary of a multi-image page loses exactly the signal the image
+    * channel exists for. The CNN is replaced by the deterministic pooling
+    * featurizer (no image runtime ships offline — kernel swap is one line in
+    * a real deployment; the plumbing and fusion are the product). Empty
+    * array when the page has no image (the scorer zero-gates image features
+    * on it). */
+  def imageVecFromHtml(html: org.apache.spark.sql.Column, dim: Int = 32): org.apache.spark.sql.Column = {
+    val vecs = imageVecsFromHtml(html, dim)
+    val n = size(vecs)
+    when(n === 0, array().cast("array<float>"))
+      .otherwise(transform(
+        aggregate(vecs, array_repeat(lit(0.0f), dim),
+          (acc, v) => zip_with(acc, v, (a, b) => a + b)),
+        x => (x / n).cast("float")))
+  }
 
   /** Attach a media column derived from text bytes (fixture-side helper:
     * stands in for reading real image bytes from the lake). */

@@ -34,7 +34,12 @@ object Linkage {
       workDir: String,
       resume: Boolean = false,
       trackMerges: Boolean = true,
-      checkpointCC: Boolean = true)
+      checkpointCC: Boolean = true,
+      /** Frozen embedding artifact (reference: pickled vocab + fastText
+        * matrix, create_map_matrix.py:10-39). Deployments load theirs via
+        * [[graft.scoring.EmbeddingModel.fromParquet]]; the deterministic
+        * fixture is only the default. */
+      embeddings: graft.scoring.EmbeddingModel = graft.scoring.EmbeddingModel.fixture)
 
   case class Result(
       clusters: DataFrame,
@@ -52,9 +57,20 @@ object Linkage {
   def fingerprint(cfg: Config): String = {
     val s = s"sv=$SnapshotSchemaVersion,b=${cfg.blocking.bands},r=${cfg.blocking.rows},seed=${cfg.blocking.seed}," +
       s"cap=${cfg.blocking.cap},max=${cfg.blocking.maxBlock},dom=${cfg.blocking.domainKey}," +
-      s"w=${cfg.weights},comp=${cfg.composition}"
+      s"w=${cfg.weights},comp=${cfg.composition},emb=${cfg.embeddings.fingerprint}"
     java.lang.Long.toHexString(
       org.apache.spark.unsafe.types.UTF8String.fromString(s).hashCode.toLong & 0xFFFFFFFFL)
+  }
+
+  /** Projected-stage lineage counter: rows with a nonempty pooled media
+    * vector. `media_rows / rows` is the EXACT corpus media coverage — the
+    * content-based weight-profile signal (Scoring.Weights.forMediaCoverage)
+    * for free at snapshot time, no extra corpus pass. */
+  private def mediaCounter(written: DataFrame): Map[String, Long] = {
+    val n = written
+      .agg(coalesce(sum(when(size(col("img")) > 0, 1L).otherwise(0L)), lit(0L)))
+      .collect()(0).getLong(0)
+    Map("media_rows" -> n)
   }
 
   /** Map CC (node=id, root=id) assignments to (url, cluster_id) with
@@ -73,7 +89,8 @@ object Linkage {
   def runLight(spark: SparkSession, pages: DataFrame,
                blocking: Blocking.Config = Blocking.Config(),
                weights: Scoring.Weights = Scoring.Weights(),
-               pairsScored: Option[LongAccumulator] = None): DataFrame = {
+               pairsScored: Option[LongAccumulator] = None,
+               embeddings: graft.scoring.EmbeddingModel = graft.scoring.EmbeddingModel.fixture): DataFrame = {
     import spark.implicits._
     // materialize the normalized projection once — the normText kernel (the
     // most expensive per-byte op) runs ONE pass; attrs and blocks both read
@@ -81,7 +98,7 @@ object Linkage {
     // wide join, id→url map); in the snapshotted pipeline the parquet stages
     // play this role
     val pre = Scoring.projected(pages).localCheckpoint()
-    val attrs = Scoring.attrsFromProjected(spark, pre)
+    val attrs = Scoring.attrsFromProjected(spark, pre, model = embeddings)
       .toDF().localCheckpoint().as[ScoreAttrs]
     // materialize the block table once: the self-join consumes it twice and
     // the broadcast variant would otherwise recompute the minhash pass per side
@@ -124,16 +141,17 @@ object Linkage {
                   blocking: Blocking.Config = Blocking.Config(),
                   weights: Scoring.Weights = Scoring.Weights(),
                   composition: Scoring.Composition = Scoring.Average,
-                  pairsScored: Option[LongAccumulator] = None): DataFrame = {
+                  pairsScored: Option[LongAccumulator] = None,
+                  embeddings: graft.scoring.EmbeddingModel = graft.scoring.EmbeddingModel.fixture): DataFrame = {
     import spark.implicits._
     val preL = Scoring.projected(left).localCheckpoint()
     val preR = Scoring.projected(right).localCheckpoint()
     val (idfL, idfR) = composition match {
-      case Scoring.Idf => Scoring.idfWeightsTwoSidedFromNorm(spark, preL, preR)
+      case Scoring.Idf => Scoring.idfWeightsTwoSidedFromNorm(spark, preL, preR, embeddings)
       case Scoring.Average => (Map.empty[Int, Double], Map.empty[Int, Double])
     }
-    val attrsL = Scoring.attrsWithIdf(spark, preL, idfL).toDF().localCheckpoint().as[ScoreAttrs]
-    val attrsR = Scoring.attrsWithIdf(spark, preR, idfR).toDF().localCheckpoint().as[ScoreAttrs]
+    val attrsL = Scoring.attrsWithIdf(spark, preL, idfL, embeddings).toDF().localCheckpoint().as[ScoreAttrs]
+    val attrsR = Scoring.attrsWithIdf(spark, preR, idfR, embeddings).toDF().localCheckpoint().as[ScoreAttrs]
     val blocksL = Blocking.blockTableFromProjected(preL, blocking).localCheckpoint()
     val blocksR = Blocking.blockTableFromProjected(preR, blocking).localCheckpoint()
     val cands = Blocking.saltedCrossJoinPairs(blocksL, blocksR,
@@ -157,7 +175,8 @@ object Linkage {
       weights: Scoring.Weights = Scoring.Weights(),
       composition: Scoring.Composition = Scoring.Average,
       workDir: String,
-      resume: Boolean = false)
+      resume: Boolean = false,
+      embeddings: graft.scoring.EmbeddingModel = graft.scoring.EmbeddingModel.fixture)
 
   case class TwoTableResult(
       matches: DataFrame,
@@ -166,7 +185,7 @@ object Linkage {
 
   def fingerprintTwoTable(cfg: TwoTableConfig): String =
     fingerprint(Config(cfg.blocking, cfg.weights, cfg.composition,
-      workDir = cfg.workDir)) + "-tt"
+      workDir = cfg.workDir, embeddings = cfg.embeddings)) + "-tt"
 
   /** [[runTwoTable]] with the SAME snapshot/manifest staging as the
     * self-linkage [[run]] (round-3 VERDICT ask #1): per-side
@@ -203,29 +222,29 @@ object Linkage {
     val dayPartL = if (left.columns.contains("warc_ts")) Seq("warc_day") else Nil
     val dayPartR = if (right.columns.contains("warc_ts")) Seq("warc_day") else Nil
     val projectedL = track("projected_l", store.stage("projected_l", fp,
-      partitionBy = dayPartL) {
+      countersFromWritten = mediaCounter, partitionBy = dayPartL) {
       Scoring.projected(left)
     })
     val projectedR = track("projected_r", store.stage("projected_r", fp,
-      partitionBy = dayPartR) {
+      countersFromWritten = mediaCounter, partitionBy = dayPartR) {
       Scoring.projected(right)
     })
 
     // per-side IDF (reference doc_freqs_1/doc_freqs_2, helpers.py:88-127) —
     // lazy: only aggregated if an attrs stage actually recomputes
     lazy val idfL = cfg.composition match {
-      case Scoring.Idf => Scoring.idfWeightsFromNorm(spark, projectedL)
+      case Scoring.Idf => Scoring.idfWeightsFromNorm(spark, projectedL, cfg.embeddings)
       case Scoring.Average => Map.empty[Int, Double]
     }
     lazy val idfR = cfg.composition match {
-      case Scoring.Idf => Scoring.idfWeightsFromNorm(spark, projectedR)
+      case Scoring.Idf => Scoring.idfWeightsFromNorm(spark, projectedR, cfg.embeddings)
       case Scoring.Average => Map.empty[Int, Double]
     }
     val attrsL = track("attrs_l", store.stage("attrs_l", fp) {
-      Scoring.attrsWithIdf(spark, projectedL, idfL).toDF()
+      Scoring.attrsWithIdf(spark, projectedL, idfL, cfg.embeddings).toDF()
     })
     val attrsR = track("attrs_r", store.stage("attrs_r", fp) {
-      Scoring.attrsWithIdf(spark, projectedR, idfR).toDF()
+      Scoring.attrsWithIdf(spark, projectedR, idfR, cfg.embeddings).toDF()
     })
     // id-uniqueness guard per side (same contract as run()): a duplicate id
     // means duplicate input urls — the attrs joins would silently fan out
@@ -302,13 +321,13 @@ object Linkage {
     // directory level instead of scanning 100 TB of snapshot
     val dayPart = if (pages.columns.contains("warc_ts")) Seq("warc_day") else Nil
     val projected = track("projected", store.stage("projected", fp,
-      partitionBy = dayPart) {
+      countersFromWritten = mediaCounter, partitionBy = dayPart) {
       Scoring.projected(pages)
     })
 
     // stage 1a: per-page scoring attributes (frozen-embedding composition)
     val attrs = track("attrs", store.stage("attrs", fp) {
-      Scoring.attrsFromProjected(spark, projected, cfg.composition).toDF()
+      Scoring.attrsFromProjected(spark, projected, cfg.composition, cfg.embeddings).toDF()
     })
     // id-uniqueness guard: with 128-bit ids a duplicate means duplicate
     // input urls (dedupe upstream), not hash luck — fail loudly either way

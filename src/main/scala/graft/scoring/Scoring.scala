@@ -5,7 +5,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.util.LongAccumulator
 
 import graft.core.{ScoreAttrs, ScoredPair}
-import graft.fixtures.Fixture
 import graft.functions.Similarity
 import graft.normalize.Normalize
 
@@ -77,6 +76,20 @@ object Scoring {
     /** Fitted bias handback for media-less corpora (see [[Weights.withoutMedia]]). */
     val MediaBiasHandback = 1.6
 
+    /** Minimum measured fraction of pages with an embedded image for the
+      * media-calibrated weights to apply: image features fire only when BOTH
+      * pair sides carry media (the bothImg gate), so coverage f activates
+      * them on ~f² of candidate pairs — below half coverage the calibrated
+      * image logits are absent from most matches and the media bias is a
+      * systematic recall squeeze. */
+    val MediaCoverageThreshold = 0.5
+
+    /** Rows examined by the sampled content measurement in the
+      * DataFrame-profiling overloads (a full 100-TB scan to pick a bias
+      * would be absurd; coverage is a corpus-level rate, and a 64k head
+      * sample pins it to ±1% at any scale). */
+    val ProfileSampleRows = 65536
+
     /** Calibrated default re-centered for the corpus shape: each INACTIVE
       * feature family hands its fitted logit contribution back to the bias. */
     def profileFor(hasPrice: Boolean, hasMedia: Boolean): Weights = {
@@ -86,24 +99,47 @@ object Scoring {
       w
     }
 
-    /** [[profileFor]] from the input frame's SHAPE. Only the media family is
-      * schema-detectable (pooling needs an `html` column); price presence is
-      * a CONTENT property (a corpus whose text never carries extractable
-      * prices still has a `text` column), so the price profile is never
-      * auto-selected — callers who know their corpus is priceless apply
-      * [[Weights.withoutPrice]] explicitly. */
+    /** [[profileFor]] from MEASURED media coverage (fraction of pages whose
+      * html embeds a data-URI image). Content-based, not schema-based: a
+      * real web corpus has an `html` column on every page but embedded
+      * data-URI images on almost none (pages link images via `<img src>`),
+      * and a schema-only check would keep the media-calibrated bias while
+      * every image feature gates to zero — the exact silent recall squeeze
+      * this profile exists to prevent. Price presence stays a content
+      * property the caller asserts ([[Weights.withoutPrice]] explicitly). */
+    def forMediaCoverage(coverage: Double): Weights =
+      profileFor(hasPrice = true, hasMedia = coverage >= MediaCoverageThreshold)
+
+    /** Measured fraction of pages embedding a data-URI image, over a bounded
+      * head sample (exact when the frame is smaller than `sampleRows`).
+      * Frames without an `html` column measure 0. A cheap byte-scan marker
+      * test (`instr`), not the full pooling pass — presence is all the
+      * profile needs. */
+    def mediaCoverage(pages: org.apache.spark.sql.DataFrame,
+                      sampleRows: Int = ProfileSampleRows): Double = {
+      import org.apache.spark.sql.functions.{avg, coalesce, col, decode, instr, lit, when}
+      if (!pages.columns.contains("html")) return 0.0
+      pages.select(
+          when(instr(decode(col("html"), "UTF-8"), "data:image/") > 0, 1.0)
+            .otherwise(0.0).as("m"))
+        .limit(sampleRows)
+        .agg(coalesce(avg(col("m")), lit(0.0)))
+        .collect()(0).getDouble(0)
+    }
+
+    /** [[profileFor]] from the input frame's CONTENT (sampled
+      * [[mediaCoverage]] measurement). */
     def profileFor(pages: org.apache.spark.sql.DataFrame): Weights =
-      profileFor(hasPrice = true, hasMedia = pages.columns.contains("html"))
+      forMediaCoverage(mediaCoverage(pages))
 
     /** Two-table profile: the image features fire only when BOTH sides carry
       * media (the bothImg gate), so the media family is active iff both
-      * tables have an `html` column — profiling from the left table alone
-      * would keep the media-calibrated bias while every image feature is
-      * zero, silently dropping cross-table matches. */
+      * tables MEASURE above-threshold coverage — profiling from the left
+      * table alone would keep the media-calibrated bias while every image
+      * feature is zero, silently dropping cross-table matches. */
     def profileFor(left: org.apache.spark.sql.DataFrame,
                    right: org.apache.spark.sql.DataFrame): Weights =
-      profileFor(hasPrice = true,
-        hasMedia = left.columns.contains("html") && right.columns.contains("html"))
+      forMediaCoverage(math.min(mediaCoverage(left), mediaCoverage(right)))
   }
 
   val LevCap = 128 // chars of normalized prefix entering edit distance (cost control)
@@ -130,9 +166,10 @@ object Scoring {
     * are bounded by |vocab| at ANY corpus scale — a web-scale corpus has
     * unbounded distinct tokens, and aggregating those first would OOM the
     * driver. */
-  def idfWeights(spark: SparkSession, pages: DataFrame): Map[Int, Double] =
+  def idfWeights(spark: SparkSession, pages: DataFrame,
+                 model: EmbeddingModel = EmbeddingModel.fixture): Map[Int, Double] =
     idfWeightsFromNorm(spark,
-      pages.select(Normalize.normText(col("text")).as("norm")))
+      pages.select(Normalize.normText(col("text")).as("norm")), model)
 
   /** Two-sided document frequencies, exactly the reference's shape
     * (helpers.py:88-127 returns doc_freqs_1/doc_freqs_2 — one table per
@@ -140,21 +177,24 @@ object Scoring {
     * Deeper.py:243-246). The self-linkage pipeline uses the single-corpus
     * [[idfWeights]]; a two-table linkage (the reference's set1-vs-set2
     * deployment) weights each side independently via this. */
-  def idfWeightsTwoSided(spark: SparkSession, left: DataFrame,
-                         right: DataFrame): (Map[Int, Double], Map[Int, Double]) =
-    (idfWeights(spark, left), idfWeights(spark, right))
+  def idfWeightsTwoSided(spark: SparkSession, left: DataFrame, right: DataFrame,
+                         model: EmbeddingModel = EmbeddingModel.fixture): (Map[Int, Double], Map[Int, Double]) =
+    (idfWeights(spark, left, model), idfWeights(spark, right, model))
 
   /** [[idfWeightsTwoSided]] over already-normalized [[projected]] frames
     * (what [[graft.pipeline.Linkage.runTwoTable]] consumes — each side's
     * normText pass runs once). */
   def idfWeightsTwoSidedFromNorm(spark: SparkSession, leftProjected: DataFrame,
-                                 rightProjected: DataFrame): (Map[Int, Double], Map[Int, Double]) =
-    (idfWeightsFromNorm(spark, leftProjected), idfWeightsFromNorm(spark, rightProjected))
+                                 rightProjected: DataFrame,
+                                 model: EmbeddingModel = EmbeddingModel.fixture): (Map[Int, Double], Map[Int, Double]) =
+    (idfWeightsFromNorm(spark, leftProjected, model),
+      idfWeightsFromNorm(spark, rightProjected, model))
 
   /** [[idfWeights]] over an already-normalized frame (column `norm`). */
-  def idfWeightsFromNorm(spark: SparkSession, normed: DataFrame): Map[Int, Double] = {
+  def idfWeightsFromNorm(spark: SparkSession, normed: DataFrame,
+                         model: EmbeddingModel = EmbeddingModel.fixture): Map[Int, Double] = {
     import spark.implicits._
-    val bcVocab = spark.sparkContext.broadcast(Fixture.vocabIndex)
+    val bcVocab = spark.sparkContext.broadcast(model.vocab)
     normed
       .select(explode(array_distinct(split(col("norm"), " "))).as("t"))
       .as[String]
@@ -177,8 +217,11 @@ object Scoring {
     * unknown ids render as "", the reference's padding row). Output: (key,
     * text) with tokens space-joined in original positions. */
   def detokenize(spark: SparkSession, df: DataFrame,
-                 keyCol: String, idsCol: String): DataFrame = {
-    val vocab = Fixture.embeddingsTable(spark).select(col("id").as("tok_id"), col("token"))
+                 keyCol: String, idsCol: String,
+                 model: EmbeddingModel = EmbeddingModel.fixture): DataFrame = {
+    import spark.implicits._
+    val vocab = model.vocab.toSeq.map { case (tok, id) => (id, tok) }
+      .toDF("tok_id", "token")
     df.select(col(keyCol).as("key"), posexplode(col(idsCol)).as(Seq("pos", "tok_id")))
       .join(broadcast(vocab), Seq("tok_id"), "left")
       .groupBy("key")
@@ -223,16 +266,18 @@ object Scoring {
   }
 
   def attrs(spark: SparkSession, pages: DataFrame,
-            composition: Composition = Average): Dataset[ScoreAttrs] =
-    attrsFromProjected(spark, projected(pages), composition)
+            composition: Composition = Average,
+            model: EmbeddingModel = EmbeddingModel.fixture): Dataset[ScoreAttrs] =
+    attrsFromProjected(spark, projected(pages), composition, model)
 
   /** [[attrs]] over an already-normalized [[projected]] frame. */
   def attrsFromProjected(spark: SparkSession, projected: DataFrame,
-                         composition: Composition = Average): Dataset[ScoreAttrs] =
+                         composition: Composition = Average,
+                         model: EmbeddingModel = EmbeddingModel.fixture): Dataset[ScoreAttrs] =
     attrsWithIdf(spark, projected, composition match {
-      case Idf => idfWeightsFromNorm(spark, projected)
+      case Idf => idfWeightsFromNorm(spark, projected, model)
       case Average => Map.empty[Int, Double]
-    })
+    }, model)
 
   /** [[attrsFromProjected]] with an EXPLICIT IDF weight table (empty map =
     * average composition) — the two-table pipeline passes each side its OWN
@@ -240,10 +285,11 @@ object Scoring {
     * doc_freqs_1/doc_freqs_2, helpers.py:88-127, composed per side
     * Deeper.py:243-246). */
   def attrsWithIdf(spark: SparkSession, projected: DataFrame,
-                   idfWeights: Map[Int, Double]): Dataset[ScoreAttrs] = {
+                   idfWeights: Map[Int, Double],
+                   model: EmbeddingModel = EmbeddingModel.fixture): Dataset[ScoreAttrs] = {
     import spark.implicits._
-    val bcVocab = spark.sparkContext.broadcast(Fixture.vocabIndex)
-    val bcEmb = spark.sparkContext.broadcast(Fixture.embeddingMatrix)
+    val bcVocab = spark.sparkContext.broadcast(model.vocab)
+    val bcEmb = spark.sparkContext.broadcast(model.matrix)
     val bcIdf = spark.sparkContext.broadcast(idfWeights)
     projected
       .select("id", "url", "norm", "price", "price_isna", "img") // snapshot frames may carry extras (warc_day)

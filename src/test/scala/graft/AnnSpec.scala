@@ -64,6 +64,27 @@ class AnnSpec extends SparkSpec {
     assert(stats("entries_dropped") == 0L)
   }
 
+  test("srp_bucket on array<double> matches the float buckets (typed kernel)") {
+    // double vectors must route to the double kernel: an unconditional
+    // getFloat over double storage reads 4-byte halves of 8-byte lanes and
+    // yields garbage buckets (silent recall loss on the public surface)
+    val both = emb.select(
+      graft.functions.GraftFunctions.srp_bucket($"embedding".cast("array<float>"), 8, 42L).as("bf"),
+      graft.functions.GraftFunctions.srp_bucket($"embedding".cast("array<double>"), 8, 42L).as("bd"))
+    assert(both.where($"bf" =!= $"bd").count() == 0)
+    // and the bucketed ANN path stays functional end-to-end on doubles
+    val dEmb = emb.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val queries = dEmb.where($"vec_id" < 10)
+    val brute = Ann.bruteTopK(dEmb, queries, "vec_id", "v", k = 5)
+      .select("query_id", "corpus_id")
+    val lsh = Ann.srpTopK(dEmb, queries, "vec_id", "v", k = 5, nBits = 6)
+      .select("query_id", "corpus_id")
+    val recall = brute.join(lsh, Seq("query_id", "corpus_id"), "left_semi").count()
+      .toDouble / brute.count()
+    info(f"double-vector SRP recall@5 = $recall%.3f")
+    assert(recall >= 0.3, f"recall $recall%.3f too low — double lane broken?")
+  }
+
   test("SRP-LSH scans far fewer candidates than brute force") {
     // bucket histogram: no bucket should hold a large fraction of the corpus
     val bucketed = emb.select(

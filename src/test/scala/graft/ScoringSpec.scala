@@ -181,6 +181,39 @@ class ScoringSpec extends SparkSpec {
     assert(s.agg(max(abs($"img_cos")) + max(abs($"img_l1"))).as[Double].collect()(0) == 0.0)
   }
 
+  test("sparse-media corpus (html present, no data URIs) auto-selects withoutMedia and holds the margin") {
+    // the realistic web shape: every page HAS html, but images are <img src>
+    // links, not embedded data URIs — a schema-only profile would keep the
+    // media-calibrated bias while every image feature gates to zero (the
+    // silent recall squeeze); the content-based profile must hand it back
+    val linkImg = pages.withColumn("html",
+      encode(concat(lit("<html><body>"), $"text",
+        lit("<img src=\"https://cdn.example.com/p.jpg\"></body></html>")), "UTF-8"))
+    assert(Scoring.Weights.mediaCoverage(linkImg) == 0.0)
+    val w = Scoring.Weights.profileFor(linkImg)
+    assert(w.bias == Scoring.Weights().withoutMedia.bias,
+      "content-based profile must not trust html-column presence")
+    // the embedded-media fixture measures full coverage and keeps the default
+    assert(Scoring.Weights.mediaCoverage(pages) == 1.0)
+    assert(Scoring.Weights.profileFor(pages).bias == Scoring.Weights().bias)
+    // and the two-table profile needs BOTH sides covered
+    assert(Scoring.Weights.profileFor(pages, linkImg).bias ==
+      Scoring.Weights().withoutMedia.bias)
+    // margin holds under the re-centered bias with image features inactive
+    val attrs = Scoring.attrs(spark, linkImg)
+    val withIds = labeled.toDF()
+      .withColumn("id1", graft.blocking.Blocking.pageIdOf(col("url1")))
+      .withColumn("id2", graft.blocking.Blocking.pageIdOf(col("url2")))
+    val s = Scoring.score(spark, withIds.select("id1", "id2"), attrs, w)
+      .toDF().drop("url1", "url2")
+      .join(withIds, Seq("id1", "id2")).cache()
+    val posMin = s.where($"label" === 1).agg(min("score")).as[Double].collect()(0)
+    val negMax = s.where($"label" === 0).agg(max("score")).as[Double].collect()(0)
+    info(f"sparse-media profile: posMin=$posMin%.4f negMax=$negMax%.4f")
+    assert(posMin > 0.5 && negMax < 0.5)
+    assert(s.agg(max(abs($"img_cos")) + max(abs($"img_l1"))).as[Double].collect()(0) == 0.0)
+  }
+
   test("pairs_scored observe metric rides the in-memory pipelines (localCheckpoint eagerness pin)") {
     // runLight/runTwoTable read observedMetrics right after localCheckpoint —
     // correct only while localCheckpoint executes eagerly. If that Spark
@@ -195,6 +228,39 @@ class ScoringSpec extends SparkSpec {
     val r = small.where(!$"url".endsWith("/c0"))
     graft.pipeline.Linkage.runTwoTable(spark, l, r, pairsScored = Some(acc2)).count()
     assert(acc2.value > 0, "runTwoTable pairs_scored metric lost")
+  }
+
+  test("pluggable embedding artifact: non-fixture vocab/matrix (different dim) holds the e2e F1 gate") {
+    // a DIFFERENT frozen artifact — same token surface (the corpus must still
+    // hit the vocab) but an independently seeded matrix at dim 48, not the
+    // fixture's 32: proves no kernel hardwires the fixture synthetics
+    val dim = 48
+    val rnd = new scala.util.Random(20260817L)
+    val matrix = new Array[Array[Float]](Fixture.VocabSize + 1)
+    matrix(0) = new Array[Float](dim)
+    for (i <- 1 to Fixture.VocabSize)
+      matrix(i) = Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
+    val custom = graft.scoring.EmbeddingModel(Fixture.vocabIndex, matrix)
+    assert(custom.dim == 48 && custom.fingerprint != graft.scoring.EmbeddingModel.fixture.fingerprint)
+    val clusters = graft.pipeline.Linkage.runLight(spark, pages, embeddings = custom)
+    val m = Eval.pairwise(clusters, labeled)
+    info(f"custom-artifact F1 = ${m.f1}%.4f (p=${m.precision}%.4f r=${m.recall}%.4f)")
+    assert(m.f1 >= 0.99, f"F1 ${m.f1}%.4f below gate with a non-fixture artifact")
+  }
+
+  test("EmbeddingModel parquet round-trip: load ≡ fixture (same fingerprint)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb").toString
+    Fixture.embeddingsTable(spark).write.mode("overwrite").parquet(s"$dir/emb.parquet")
+    val loaded = graft.scoring.EmbeddingModel.fromParquet(spark, s"$dir/emb.parquet")
+    assert(loaded.dim == Fixture.Dim)
+    assert(loaded.vocab == Fixture.vocabIndex)
+    assert(loaded.fingerprint == graft.scoring.EmbeddingModel.fixture.fingerprint)
+    // and the pipeline fingerprint keys on the artifact: a config with a
+    // different artifact must not resume another's snapshots
+    val base = graft.pipeline.Linkage.Config(workDir = "/tmp/x")
+    val other = base.copy(embeddings = graft.scoring.EmbeddingModel(
+      Fixture.vocabIndex, Array(new Array[Float](8))))
+    assert(graft.pipeline.Linkage.fingerprint(base) != graft.pipeline.Linkage.fingerprint(other))
   }
 
   test("numeric sims wired with reference semantics into score") {
