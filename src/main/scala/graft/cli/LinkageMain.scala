@@ -71,9 +71,29 @@ object LinkageMain {
     val pairsScored = result.counters.getOrElse("scored.pairs_scored", 0L)
     val evalJson =
       if (input.startsWith("fixture:") && opts.contains("eval")) {
+        import org.apache.spark.sql.functions._
         val pt = Fixture.pagesWithTruth(spark, input.stripPrefix("fixture:").toLong)
-        val m = graft.eval.Eval.pairwise(result.clusters, Fixture.labeledPairs(spark, pt))
+        val labeled = Fixture.labeledPairs(spark, pt)
+        val m = graft.eval.Eval.pairwise(result.clusters, labeled)
+        // AUROC = the reference's headline metric (sklearn roc_auc_score on
+        // held-out pairs, train_deeper.py:357-361). The reference scores
+        // EVERY labeled pair directly — so does this: the labeled pairs are
+        // scored against the attrs snapshot (no blocking in the loop);
+        // phase-1-rejected pairs rank at 0, provably below threshold
+        import spark.implicits._
+        val attrs = new graft.lineage.SnapshotStore(spark, out, resume = true)
+          .snapshot("attrs").as[graft.core.ScoreAttrs]
+        val withIds = labeled.toDF()
+          .withColumn("id1", graft.blocking.Blocking.pageIdOf(col("url1")))
+          .withColumn("id2", graft.blocking.Blocking.pageIdOf(col("url2")))
+        val scoredPairs = graft.scoring.Scoring
+          .score(spark, withIds.select("id1", "id2"), attrs, weights)
+          .toDF().select(col("id1"), col("id2"), col("score"))
+        val auroc = graft.eval.Eval.auroc(withIds
+          .join(scoredPairs, Seq("id1", "id2"), "left")
+          .select(coalesce(col("score"), lit(0.0)).as("score"), col("label")))
         f""","precision":${m.precision}%.6f,"recall":${m.recall}%.6f,"f1":${m.f1}%.6f""" +
+          f""","auroc":$auroc%.6f""" +
           s""","tp":${m.tp},"fp":${m.fp},"fn":${m.fn},"tn":${m.tn}"""
       } else ""
     println(s"""{"pages":${result.counters.getOrElse("ingest.rows", -1L)},""" +
@@ -128,7 +148,20 @@ object LinkageMain {
         val p = if (tp + fp == 0) 1.0 else tp.toDouble / (tp + fp)
         val r = if (tp + fn == 0) 1.0 else tp.toDouble / (tp + fn)
         val f1 = if (p + r == 0) 0.0 else 2 * p * r / (p + r)
-        f""","precision":$p%.6f,"recall":$r%.6f,"f1":$f1%.6f,"tp":$tp,"fp":$fp,"fn":$fn"""
+        // AUROC over every scored A×B candidate (label = planted truth;
+        // truth pairs the blocker missed rank at score 0) — the reference's
+        // headline metric, train_deeper.py:357-361
+        val ss = new graft.lineage.SnapshotStore(spark,
+            opts.getOrElse("out", "/tmp/graft-linkage") + "/two_table", resume = true)
+          .snapshot("scored")
+          .select(least(col("url1"), col("url2")).as("url1"),
+            greatest(col("url1"), col("url2")).as("url2"), col("score"))
+        val auroc = graft.eval.Eval.auroc(
+          ss.join(truth.withColumn("label", lit(1)), Seq("url1", "url2"), "full")
+            .select(coalesce(col("score"), lit(0.0)).as("score"),
+              coalesce(col("label"), lit(0)).as("label")))
+        f""","precision":$p%.6f,"recall":$r%.6f,"f1":$f1%.6f,"auroc":$auroc%.6f""" +
+          s""","tp":$tp,"fp":$fp,"fn":$fn"""
       } else ""
     println(s"""{"mode":"two_table","left_right":"$rightSpec","matches":$nMatches,""" +
       s""""pairs_scored":$pairsScored,""" +

@@ -57,6 +57,10 @@ class SnapshotStore(spark: SparkSession, root: String, resume: Boolean) {
   private def dataPath(stage: String) = s"$root/$stage/data.parquet"
   private def manifestPath(stage: String) = s"$root/$stage/manifest.json"
 
+  /** Read a completed stage's snapshot back (post-run consumers: evaluation
+    * over the scored snapshot, ad-hoc inspection). */
+  def snapshot(stage: String): DataFrame = spark.read.parquet(dataPath(stage))
+
   /** True if `stage` completed with the same fingerprint (used by resume tests). */
   def isComplete(stage: String, fingerprint: String): Boolean =
     readManifestField(manifestPath(stage), "status").contains("complete") &&

@@ -73,6 +73,25 @@ object Linkage {
     Map("media_rows" -> n)
   }
 
+  /** Attrs-stage lineage counter: distinct 128-bit ids. Recorded in the
+    * manifest at WRITE time so the id-uniqueness guard reads counters on
+    * every subsequent run — a resume no longer pays a full attrs-snapshot
+    * aggregate just to re-prove what the manifest already witnessed
+    * (round-4 VERDICT #4: one less 100-TB pass per rerun). */
+  private def distinctIdCounter(written: DataFrame): Map[String, Long] =
+    Map("distinct_ids" ->
+      written.agg(countDistinct(col("id"))).collect()(0).getLong(0))
+
+  /** Id-uniqueness guard from STAGE COUNTERS (rows vs distinct_ids — both
+    * manifest-carried): with 128-bit ids a duplicate means duplicate input
+    * urls (dedupe upstream), not hash luck — fail loudly either way. The
+    * distinct counter is absent only when resuming a manifest written by a
+    * pre-counter build, whose run already passed the scan-based guard. */
+  private def requireUniqueIds(stage: String, counters: Map[String, Long]): Unit =
+    for (d <- counters.get(s"$stage.distinct_ids"); n <- counters.get(s"$stage.rows"))
+      require(n == d,
+        s"duplicate page id in $stage ($n rows, $d distinct 128-bit ids): input urls are not unique")
+
   /** Map CC (node=id, root=id) assignments to (url, cluster_id) with
     * cluster_id = min url of the component (FIXTURES.md §5). */
   private def toUrlClusters(assign: DataFrame, idUrl: DataFrame): DataFrame = {
@@ -112,8 +131,7 @@ object Linkage {
       .select(col("id1").as("src"), col("id2").as("dst"))
     val edgesChk = edges.localCheckpoint()
     pairsScored.foreach { acc =>
-      edges.queryExecution.observedMetrics.get("pairs_scored")
-        .foreach(r => acc.add(r.getLong(0)))
+      Scoring.pairsScoredMetric(edges).foreach(acc.add)
     }
     val idUrl = attrs.toDF().select(col("id").as("node"), col("url"))
     // roundsPerMaterialize stays 1: each star round consumes its input 3-4×
@@ -155,7 +173,7 @@ object Linkage {
     val blocksL = Blocking.blockTableFromProjected(preL, blocking).localCheckpoint()
     val blocksR = Blocking.blockTableFromProjected(preR, blocking).localCheckpoint()
     val cands = Blocking.saltedCrossJoinPairs(blocksL, blocksR,
-        blocking.cap, blocking.maxBlock, persistEntries = false)
+        blocking.cap, blocking.maxBlock, persistLeft = false, persistRight = false)
       .dropDuplicates("id1", "id2")
     val scored = Scoring.scoreTwoTable(spark, cands, attrsL, attrsR, weights)
     val matches = scored.toDF()
@@ -163,8 +181,7 @@ object Linkage {
       .select(col("url1"), col("url2"), col("score"))
     val out = matches.localCheckpoint()
     pairsScored.foreach { acc =>
-      matches.queryExecution.observedMetrics.get("pairs_scored")
-        .foreach(r => acc.add(r.getLong(0)))
+      Scoring.pairsScoredMetric(matches).foreach(acc.add)
     }
     out
   }
@@ -240,20 +257,20 @@ object Linkage {
       case Scoring.Idf => Scoring.idfWeightsFromNorm(spark, projectedR, cfg.embeddings)
       case Scoring.Average => Map.empty[Int, Double]
     }
-    val attrsL = track("attrs_l", store.stage("attrs_l", fp) {
+    val attrsL = track("attrs_l", store.stage("attrs_l", fp,
+      countersFromWritten = distinctIdCounter) {
       Scoring.attrsWithIdf(spark, projectedL, idfL, cfg.embeddings).toDF()
     })
-    val attrsR = track("attrs_r", store.stage("attrs_r", fp) {
+    val attrsR = track("attrs_r", store.stage("attrs_r", fp,
+      countersFromWritten = distinctIdCounter) {
       Scoring.attrsWithIdf(spark, projectedR, idfR, cfg.embeddings).toDF()
     })
     // id-uniqueness guard per side (same contract as run()): a duplicate id
     // means duplicate input urls — the attrs joins would silently fan out
-    // every candidate pair and inflate matches/counters
-    for ((name, a) <- Seq("attrs_l" -> attrsL, "attrs_r" -> attrsR)) {
-      val c = a.agg(count(lit(1)).as("n"), countDistinct(col("id")).as("d")).collect()(0)
-      require(c.getLong(0) == c.getLong(1),
-        s"duplicate page id in $name (${c.getLong(0)} rows, ${c.getLong(1)} distinct): input urls are not unique")
-    }
+    // every candidate pair and inflate matches/counters. Counter-based: zero
+    // extra scans, and resumes read the manifest instead of re-aggregating.
+    requireUniqueIds("attrs_l", counters)
+    requireUniqueIds("attrs_r", counters)
 
     val blocksL = track("blocks_l", store.stage("blocks_l", fp,
       countersFromWritten = w => Blocking.blockStats(w, cfg.blocking),
@@ -269,7 +286,7 @@ object Linkage {
     // the expensive stage: A×B salted grid join (never a cartesian)
     val pairs = track("pairs", store.stage("pairs", fp) {
       Blocking.saltedCrossJoinPairs(blocksL, blocksR,
-          cfg.blocking.cap, cfg.blocking.maxBlock, persistEntries = false)
+          cfg.blocking.cap, cfg.blocking.maxBlock, persistLeft = false, persistRight = false)
         .dropDuplicates("id1", "id2")
     })
 
@@ -326,14 +343,13 @@ object Linkage {
     })
 
     // stage 1a: per-page scoring attributes (frozen-embedding composition)
-    val attrs = track("attrs", store.stage("attrs", fp) {
+    val attrs = track("attrs", store.stage("attrs", fp,
+      countersFromWritten = distinctIdCounter) {
       Scoring.attrsFromProjected(spark, projected, cfg.composition, cfg.embeddings).toDF()
     })
-    // id-uniqueness guard: with 128-bit ids a duplicate means duplicate
-    // input urls (dedupe upstream), not hash luck — fail loudly either way
-    val idCheck = attrs.agg(count(lit(1)).as("n"), countDistinct(col("id")).as("d")).collect()(0)
-    require(idCheck.getLong(0) == idCheck.getLong(1),
-      s"duplicate page id (${idCheck.getLong(0)} rows, ${idCheck.getLong(1)} distinct 128-bit ids): input urls are not unique")
+    // id-uniqueness guard — counter-based (manifest-carried): the distinct
+    // aggregate runs once at write time; resumes assert from the manifest
+    requireUniqueIds("attrs", counters)
 
     // stage 1b: salted block table (numeric keys)
     val blocks = track("blocks", store.stage("blocks", fp,

@@ -448,12 +448,17 @@ object Scoring {
         when(bothImg, inverse_l1(col("a.img"), col("b.img"))).otherwise(0.0).as("img_l1"),
         when(bothImg, inverse_l2(col("a.img"), col("b.img"))).otherwise(0.0).as("img_l2"))
     // lineage: "pairs scored" = candidates evaluated by phase 1 (observe
-    // metric — rides whichever action consumes this plan, zero extra jobs)
+    // metric — rides whichever action consumes this plan, zero extra jobs).
+    // The name is unique per invocation: Spark rejects a single plan carrying
+    // two observes of the same name, so a caller combining two score outputs
+    // (e.g. a union of per-batch scored edges) would otherwise fail analysis.
+    // Read back via [[pairsScoredMetric]], which matches the prefix.
     val phase1Score = lit(w.cos) * col("cosine") + lit(w.l1) * col("inv_l1") +
       lit(w.num) * col("num_sim") + lit(w.mmr) * col("mmr") +
       lit(w.imgCos) * col("img_cos") + lit(w.imgL1) * col("img_l1") +
       lit(w.imgL2) * col("img_l2")
-    val survivors = stage1.observe("pairs_scored", count(lit(1)))
+    val survivors = stage1
+      .observe(s"$PairsScoredPrefix${observeSeq.incrementAndGet()}", count(lit(1)))
       .where(phase1Score >= lit(phase1Gate(w)))
 
     // phase 2: string similarities + calibration, survivors only
@@ -481,6 +486,20 @@ object Scoring {
         col("img_cos"), col("img_l1"), col("img_l2"))
       .withColumn("score", lit(1.0) / (lit(1.0) + exp(-z)))
       .as[ScoredPair]
+  }
+
+  private val PairsScoredPrefix = "pairs_scored_"
+  private val observeSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Total candidates evaluated by phase 1, summed over every pairs_scored
+    * observe metric in `df`'s EXECUTED plan (metric names are unique per
+    * [[scoreTwoTable]] invocation — a plan combining several score outputs
+    * carries several metrics and they all count). None before execution. */
+  def pairsScoredMetric(df: DataFrame): Option[Long] = {
+    val vals = df.queryExecution.observedMetrics.collect {
+      case (name, row) if name.startsWith(PairsScoredPrefix) => row.getLong(0)
+    }
+    if (vals.isEmpty) None else Some(vals.sum)
   }
 
   /** Above-threshold pairs as the (numeric) edge table for clustering. */

@@ -129,9 +129,10 @@ class BlockingSpec extends SparkSpec {
     assert(extra == 0, s"$extra cached RDD(s) still pinned after the consuming action")
   }
 
-  test("abandoned consumer: cache force-releases after bounded misses") {
+  test("abandoned consumer: cache force-releases after bounded misses, and the abandon is counted") {
     val beforeIds = spark.sparkContext.getPersistentRDDs.keySet
     def extra = (spark.sparkContext.getPersistentRDDs.keySet -- beforeIds).size
+    val abandonsBefore = Blocking.abandonedReleases.get()
     val cached = spark.range(800).toDF()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cached.count() // materialize
@@ -142,5 +143,35 @@ class BlockingSpec extends SparkSpec {
     val deadline = System.currentTimeMillis + 15000
     while (extra > 0 && System.currentTimeMillis < deadline) Thread.sleep(100)
     assert(extra == 0, s"$extra cached RDD(s) pinned by an abandoned consumer")
+    // the early release is correct but must be OBSERVABLE (round-4 ADVICE):
+    // a late execution recomputes uncached, and nothing else signals that
+    assert(Blocking.abandonedReleases.get() > abandonsBefore,
+      "abandon-path release fired without incrementing the counter")
+  }
+
+  test("deltaPairs default: accumulated side stays uncached; a caller-managed cache survives") {
+    import org.apache.spark.storage.StorageLevel
+    val cfg = Blocking.Config(cap = 64, maxBlock = 0)
+    val accum = spark.range(500).select(pmod($"id", lit(5)).as("block_key"), $"id")
+    assert(Blocking.deltaPairs(accum, spark.range(450, 500).toDF("id"), cfg).count() > 0)
+    // opt-out default: at scale the accumulated table is snapshot-backed
+    // parquet — re-scanning beats materializing 100 TB into executor storage
+    assert(accum.storageLevel == StorageLevel.NONE,
+      "deltaPairs persisted the accumulated side despite the opt-out default")
+    // a continuous-ingest caller keeping its own cross-batch cache must not
+    // lose it to the operator's internal persist/release cycle (round-4
+    // ADVICE: persist()+unpersist() on the caller's plan dropped it)
+    val cached = accum.persist(StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+    Blocking.deltaPairs(cached, spark.range(450, 500).toDF("id"), cfg).count()
+    Thread.sleep(500) // give the (left-side) release listener time to fire
+    assert(cached.storageLevel != StorageLevel.NONE,
+      "deltaPairs dropped the caller's own cross-batch cache")
+    cached.unpersist(blocking = true)
+    // explicit opt-in still persists the accumulated side (derived-plan callers)
+    val accum2 = spark.range(300).select(pmod($"id", lit(3)).as("block_key"), $"id")
+    Blocking.deltaPairs(accum2, spark.range(250, 300).toDF("id"), cfg,
+      persistAccum = true).count()
+    // (released again by the consuming action — just proves the switch wires)
   }
 }

@@ -65,6 +65,41 @@ class EndToEndSpec extends SparkSpec {
     assert(resumed.clusters.orderBy("url").collect().sameElements(before))
   }
 
+  test("resume is scan-free: zero data rows read until an action on the result (counter-carried guard)") {
+    result.clusters.count() // ensure the workdir is complete
+    // a resume still runs small parquet FOOTER jobs (schema inference per
+    // snapshot read) — the claim is no DATA scan: round 4 paid a full
+    // count+countDistinct aggregate over the attrs snapshot per rerun; the
+    // guard now reads manifest counters
+    val rowsRead = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        rowsRead.addAndGet(sc.stageInfo.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val resumed = Linkage.run(spark, pages,
+        Linkage.Config(workDir = workDir, resume = true))
+      assert(resumed.resumedStages.size == 6)
+      Thread.sleep(1000) // let in-flight stage-completed events drain
+      assert(rowsRead.get() == 0L,
+        s"resume read ${rowsRead.get()} data rows; the id guard must read manifest counters, not re-scan")
+      assert(resumed.counters.get("attrs.distinct_ids").exists(_ > 0))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("id-uniqueness guard fires on duplicated input urls (from stage counters)") {
+    val dir = Files.createTempDirectory("graft-e2e-dup").toString
+    val small = pages.limit(200).cache()
+    small.count() // pin the limit's choice — the union must truly duplicate
+    val dup = small.unionAll(small)
+    val e = intercept[IllegalArgumentException] {
+      Linkage.run(spark, dup, Linkage.Config(workDir = dir))
+    }
+    assert(e.getMessage.contains("duplicate page id"), e.getMessage)
+  }
+
   test("kill/resume: only missing stages recompute after partial run") {
     val dir2 = Files.createTempDirectory("graft-e2e-partial").toString
     val cfg = Linkage.Config(workDir = dir2)

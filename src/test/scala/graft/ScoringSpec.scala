@@ -230,6 +230,29 @@ class ScoringSpec extends SparkSpec {
     assert(acc2.value > 0, "runTwoTable pairs_scored metric lost")
   }
 
+  test("two score outputs combine into ONE plan (per-invocation observe names) and the metric sums") {
+    // a union of per-batch scored edges is a natural library-caller shape;
+    // with a FIXED observe name Spark rejects the combined plan at analysis
+    // (duplicate observed metric) — round-4 ADVICE. Names are now unique per
+    // invocation and pairsScoredMetric sums every one in the executed plan.
+    val small = pages.limit(300).cache()
+    small.count() // pin the limit's row choice before both consumers
+    val attrs = Scoring.attrs(spark, small)
+    val ids = attrs.collect().take(20).map(_.id).toSeq
+    val cands = ids.combinations(2).map(p => (p(0), p(1))).toSeq
+      .toDF("id1", "id2")
+    val half = cands.count() / 2
+    val s1 = Scoring.score(spark, cands.limit(half.toInt), attrs).toDF()
+    val s2 = Scoring.score(spark, cands, attrs).toDF()
+    val u = s1.unionByName(s2)
+    // materialize u's OWN QueryExecution (the library pattern — metrics ride
+    // the frame's execution); a duplicate-observe name would throw here
+    u.localCheckpoint()
+    val m = Scoring.pairsScoredMetric(u)
+    assert(m.contains(half + cands.count()),
+      s"expected ${half + cands.count()} summed over both metrics, got $m")
+  }
+
   test("pluggable embedding artifact: non-fixture vocab/matrix (different dim) holds the e2e F1 gate") {
     // a DIFFERENT frozen artifact — same token surface (the corpus must still
     // hit the vocab) but an independently seeded matrix at dim 48, not the

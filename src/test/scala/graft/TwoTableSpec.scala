@@ -106,6 +106,40 @@ class TwoTableSpec extends SparkSpec {
       .orderBy("url1", "url2").collect().sameElements(stg))
   }
 
+  test("two-table incremental ingest: union of deltas ≡ one-shot; old×old never re-joined") {
+    val cfg = Blocking.Config()
+    val projL = Scoring.projected(left).cache()
+    val projR = Scoring.projected(right).cache()
+    val blocksL = Blocking.blockTableFromProjected(projL, cfg).cache()
+    val blocksR = Blocking.blockTableFromProjected(projR, cfg).cache()
+    // deterministic two-chunk split per side (id's hi lane parity)
+    def chunk(proj: DataFrame, even: Boolean) =
+      proj.where(if (even) pmod($"id.hi", lit(2)) === 0 else pmod($"id.hi", lit(2)) =!= 0)
+        .select("id")
+    val (l1, l2) = (chunk(projL, even = true), chunk(projL, even = false))
+    val (r1, r2) = (chunk(projR, even = true), chunk(projR, even = false))
+    val blocksL1 = blocksL.join(l1, Seq("id"), "left_semi")
+    val blocksR1 = blocksR.join(r1, Seq("id"), "left_semi")
+    // batch 1: everything is new; batch 2: both catalogs grew by chunk 2
+    val d1 = Blocking.deltaPairsTwoTable(blocksL1, blocksR1, l1, r1, cfg).cache()
+    val d2 = Blocking.deltaPairsTwoTable(blocksL, blocksR, l2, r2, cfg).cache()
+    // old×old pairs (both sides from chunk 1) must NEVER re-emerge in batch 2
+    assert(d2.join(l1.withColumnRenamed("id", "id1"), Seq("id1"), "left_semi")
+      .join(r1.withColumnRenamed("id", "id2"), Seq("id2"), "left_semi")
+      .count() == 0, "batch 2 regenerated old×old A×B pairs")
+    // union over batches ≡ the one-shot A×B join on the final tables
+    val oneShot = Blocking.saltedCrossJoinPairs(blocksL, blocksR,
+        cfg.cap, cfg.maxBlock, persistLeft = false, persistRight = false)
+      .dropDuplicates("id1", "id2").cache()
+    val uni = d1.unionByName(d2).dropDuplicates("id1", "id2").cache()
+    assert(uni.count() == oneShot.count())
+    assert(uni.exceptAll(oneShot).count() == 0, "delta union emitted extra pairs")
+    assert(oneShot.exceptAll(uni).count() == 0, "delta union missed pairs")
+    // sides keep identity through the delta path: id1 ∈ left, id2 ∈ right
+    assert(uni.join(projL.select($"id".as("id1")), Seq("id1"), "left_anti").count() == 0)
+    assert(uni.join(projR.select($"id".as("id2")), Seq("id2"), "left_anti").count() == 0)
+  }
+
   test("planted hot block: cross-join grid bounds tasks, exactly-once coverage") {
     val cap = 64
     val nl = 500L
