@@ -53,14 +53,29 @@ object Linkage {
     * text_isna + warc_day partitions. */
   val SnapshotSchemaVersion = 4
 
-  /** Stable fingerprint of the run configuration (keys resume validity). */
-  def fingerprint(cfg: Config): String = {
-    val s = s"sv=$SnapshotSchemaVersion,b=${cfg.blocking.bands},r=${cfg.blocking.rows},seed=${cfg.blocking.seed}," +
-      s"cap=${cfg.blocking.cap},max=${cfg.blocking.maxBlock},dom=${cfg.blocking.domainKey}," +
-      s"w=${cfg.weights},comp=${cfg.composition},emb=${cfg.embeddings.fingerprint}"
+  private def hashFp(s: String): String =
     java.lang.Long.toHexString(
       org.apache.spark.unsafe.types.UTF8String.fromString(s).hashCode.toLong & 0xFFFFFFFFL)
-  }
+
+  private def dataFpString(cfg: Config): String =
+    s"sv=$SnapshotSchemaVersion,b=${cfg.blocking.bands},r=${cfg.blocking.rows},seed=${cfg.blocking.seed}," +
+      s"cap=${cfg.blocking.cap},max=${cfg.blocking.maxBlock},dom=${cfg.blocking.domainKey}," +
+      s"comp=${cfg.composition},emb=${cfg.embeddings.fingerprint}"
+
+  /** Weights-independent fingerprint keying the DATA stages (ingest,
+    * projected, attrs, blocks, pairs): none of them read the calibration
+    * weights, so a re-run that only changes weights or threshold — the
+    * single most common iteration loop when tuning a deployment — resumes
+    * everything up to and including the expensive pair join and recomputes
+    * only scoring and clustering. At the 100-TB north star that is a
+    * scoring pass instead of a full pipeline recompute. */
+  def fingerprintData(cfg: Config): String = hashFp(dataFpString(cfg))
+
+  /** Full fingerprint (data + weights) keying the weight-dependent stages
+    * (scored, matches, clusters — phase-1 survivorship and the match/edge
+    * threshold both derive from the weights). */
+  def fingerprint(cfg: Config): String =
+    hashFp(dataFpString(cfg) + s",w=${cfg.weights}")
 
   /** Projected-stage lineage counter: rows with a nonempty pooled media
     * vector. `media_rows / rows` is the EXACT corpus media coverage — the
@@ -204,6 +219,12 @@ object Linkage {
     fingerprint(Config(cfg.blocking, cfg.weights, cfg.composition,
       workDir = cfg.workDir, embeddings = cfg.embeddings)) + "-tt"
 
+  /** Two-table analog of [[fingerprintData]] (keys the per-side data stages
+    * and the A×B pair stage — a re-weight/re-threshold run resumes them). */
+  def fingerprintDataTwoTable(cfg: TwoTableConfig): String =
+    fingerprintData(Config(cfg.blocking, cfg.weights, cfg.composition,
+      workDir = cfg.workDir, embeddings = cfg.embeddings)) + "-tt"
+
   /** [[runTwoTable]] with the SAME snapshot/manifest staging as the
     * self-linkage [[run]] (round-3 VERDICT ask #1): per-side
     * projected/attrs/blocks stages, the A×B pair stage, scored pairs, and
@@ -220,6 +241,7 @@ object Linkage {
     import spark.implicits._
     val store = new SnapshotStore(spark, cfg.workDir, cfg.resume)
     val fp = fingerprintTwoTable(cfg)
+    val fpData = fingerprintDataTwoTable(cfg)
     var resumed = Vector.empty[String]
     var counters = Map.empty[String, Long]
     def track(name: String, o: graft.lineage.Snapshots.StageOutcome): DataFrame = {
@@ -231,18 +253,18 @@ object Linkage {
 
     // per-side ingest manifests: row counts + byte-identity text invariant
     for ((name, side) <- Seq("ingest_l" -> left, "ingest_r" -> right)) {
-      val fresh = store.recordOnly(name, fp, side, shaCol = Some("text"))
+      val fresh = store.recordOnly(name, fpData, side, shaCol = Some("text"))
       val c = if (fresh.nonEmpty) fresh else store.counters(name)
       counters ++= c.map { case (k, v) => s"$name.$k" -> v }
     }
 
     val dayPartL = if (left.columns.contains("warc_ts")) Seq("warc_day") else Nil
     val dayPartR = if (right.columns.contains("warc_ts")) Seq("warc_day") else Nil
-    val projectedL = track("projected_l", store.stage("projected_l", fp,
+    val projectedL = track("projected_l", store.stage("projected_l", fpData,
       countersFromWritten = mediaCounter, partitionBy = dayPartL) {
       Scoring.projected(left)
     })
-    val projectedR = track("projected_r", store.stage("projected_r", fp,
+    val projectedR = track("projected_r", store.stage("projected_r", fpData,
       countersFromWritten = mediaCounter, partitionBy = dayPartR) {
       Scoring.projected(right)
     })
@@ -257,11 +279,11 @@ object Linkage {
       case Scoring.Idf => Scoring.idfWeightsFromNorm(spark, projectedR, cfg.embeddings)
       case Scoring.Average => Map.empty[Int, Double]
     }
-    val attrsL = track("attrs_l", store.stage("attrs_l", fp,
+    val attrsL = track("attrs_l", store.stage("attrs_l", fpData,
       countersFromWritten = distinctIdCounter) {
       Scoring.attrsWithIdf(spark, projectedL, idfL, cfg.embeddings).toDF()
     })
-    val attrsR = track("attrs_r", store.stage("attrs_r", fp,
+    val attrsR = track("attrs_r", store.stage("attrs_r", fpData,
       countersFromWritten = distinctIdCounter) {
       Scoring.attrsWithIdf(spark, projectedR, idfR, cfg.embeddings).toDF()
     })
@@ -272,19 +294,19 @@ object Linkage {
     requireUniqueIds("attrs_l", counters)
     requireUniqueIds("attrs_r", counters)
 
-    val blocksL = track("blocks_l", store.stage("blocks_l", fp,
+    val blocksL = track("blocks_l", store.stage("blocks_l", fpData,
       countersFromWritten = w => Blocking.blockStats(w, cfg.blocking),
       partitionBy = dayPartL) {
       Blocking.blockTableFromProjected(projectedL, cfg.blocking)
     })
-    val blocksR = track("blocks_r", store.stage("blocks_r", fp,
+    val blocksR = track("blocks_r", store.stage("blocks_r", fpData,
       countersFromWritten = w => Blocking.blockStats(w, cfg.blocking),
       partitionBy = dayPartR) {
       Blocking.blockTableFromProjected(projectedR, cfg.blocking)
     })
 
     // the expensive stage: A×B salted grid join (never a cartesian)
-    val pairs = track("pairs", store.stage("pairs", fp) {
+    val pairs = track("pairs", store.stage("pairs", fpData) {
       Blocking.saltedCrossJoinPairs(blocksL, blocksR,
           cfg.blocking.cap, cfg.blocking.maxBlock, persistLeft = false, persistRight = false)
         .dropDuplicates("id1", "id2")
@@ -312,6 +334,7 @@ object Linkage {
     import spark.implicits._
     val store = new SnapshotStore(spark, cfg.workDir, cfg.resume)
     val fp = fingerprint(cfg)
+    val fpData = fingerprintData(cfg)
     var resumed = Vector.empty[String]
     var counters = Map.empty[String, Long]
     def track(name: String, o: graft.lineage.Snapshots.StageOutcome): DataFrame = {
@@ -324,7 +347,7 @@ object Linkage {
 
     // stage 0: ingest — record count + text invariant hash, copy nothing
     val ingestCounters = {
-      val fresh = store.recordOnly("ingest", fp, pages, shaCol = Some("text"))
+      val fresh = store.recordOnly("ingest", fpData, pages, shaCol = Some("text"))
       if (fresh.nonEmpty) fresh else store.counters("ingest")
     }
     counters ++= ingestCounters.map { case (k, v) => s"ingest.$k" -> v }
@@ -337,13 +360,13 @@ object Linkage {
     // carries warc_ts): re-runs and incremental ingest prune by day at the
     // directory level instead of scanning 100 TB of snapshot
     val dayPart = if (pages.columns.contains("warc_ts")) Seq("warc_day") else Nil
-    val projected = track("projected", store.stage("projected", fp,
+    val projected = track("projected", store.stage("projected", fpData,
       countersFromWritten = mediaCounter, partitionBy = dayPart) {
       Scoring.projected(pages)
     })
 
     // stage 1a: per-page scoring attributes (frozen-embedding composition)
-    val attrs = track("attrs", store.stage("attrs", fp,
+    val attrs = track("attrs", store.stage("attrs", fpData,
       countersFromWritten = distinctIdCounter) {
       Scoring.attrsFromProjected(spark, projected, cfg.composition, cfg.embeddings).toDF()
     })
@@ -352,14 +375,14 @@ object Linkage {
     requireUniqueIds("attrs", counters)
 
     // stage 1b: salted block table (numeric keys)
-    val blocks = track("blocks", store.stage("blocks", fp,
+    val blocks = track("blocks", store.stage("blocks", fpData,
       countersFromWritten = w => Blocking.blockStats(w, cfg.blocking),
       partitionBy = dayPart) {
       Blocking.blockTableFromProjected(projected, cfg.blocking)
     })
 
     // stage 2a: block-local self-join → candidate pairs (id1, id2)
-    val pairs = track("pairs", store.stage("pairs", fp) {
+    val pairs = track("pairs", store.stage("pairs", fpData) {
       Blocking.candidatePairs(blocks, cfg.blocking)
     })
 

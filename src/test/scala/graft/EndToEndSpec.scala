@@ -115,4 +115,28 @@ class EndToEndSpec extends SparkSpec {
     val m = Eval.pairwise(resumed.clusters, labeled)
     assert(m.f1 >= 0.99)
   }
+
+  test("re-threshold resume: data stages incl. the pair join resume; only scoring/clustering recompute") {
+    // the deployment tuning loop: same corpus, different weights/threshold.
+    // Data stages key on the weights-INDEPENDENT fingerprint, so everything
+    // up to the expensive pair join resumes; at 100 TB that is a scoring
+    // pass instead of a full recompute. (Copied workdir: the new scored/
+    // clusters snapshots must not clobber the sibling tests' manifests.)
+    result.clusters.count()
+    val dir3 = Files.createTempDirectory("graft-e2e-rethresh").toString
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(workDir), new java.io.File(dir3))
+    val strict = Linkage.run(spark, pages, Linkage.Config(workDir = dir3,
+      resume = true,
+      weights = graft.scoring.Scoring.Weights(threshold = 0.999)))
+    assert(strict.resumedStages == Seq("projected", "attrs", "blocks", "pairs"),
+      s"got ${strict.resumedStages}")
+    // the stricter threshold really re-clustered: only saturated near-exact
+    // copies stay linked, so the cluster count rises well above the default
+    // run's — proof that scored/clusters recomputed under the new weights
+    val nDefault = result.clusters.select("cluster_id").distinct().count()
+    val nStrict = strict.clusters.select("cluster_id").distinct().count()
+    assert(nStrict > nDefault + 1000,
+      s"strict threshold produced $nStrict clusters vs default $nDefault — scored/clusters not recomputed?")
+  }
 }

@@ -106,6 +106,24 @@ class TwoTableSpec extends SparkSpec {
       .orderBy("url1", "url2").collect().sameElements(stg))
   }
 
+  test("two-table re-threshold resume: per-side stages and the A×B join resume") {
+    val workDir = java.nio.file.Files.createTempDirectory("graft-tt-rethresh").toString
+    val cfg = Linkage.TwoTableConfig(workDir = workDir)
+    val base = Linkage.runTwoTableStaged(spark, left, right, cfg)
+    val strict = Linkage.runTwoTableStaged(spark, left, right,
+      cfg.copy(resume = true,
+        weights = graft.scoring.Scoring.Weights(threshold = 0.999)))
+    assert(strict.resumedStages == Seq("projected_l", "projected_r",
+      "attrs_l", "attrs_r", "blocks_l", "blocks_r", "pairs"),
+      s"got ${strict.resumedStages}")
+    // perturbed copies score below the saturated band: the stricter
+    // threshold must drop matches (proves scored/matches recomputed)
+    val baseMatches = base.counters.getOrElse("matches.rows", -1L)
+    val strictMatches = strict.counters.getOrElse("matches.rows", -1L)
+    assert(strictMatches >= 0 && strictMatches < baseMatches,
+      s"strict $strictMatches vs base $baseMatches — scored/matches not recomputed?")
+  }
+
   test("two-table incremental ingest: union of deltas ≡ one-shot; old×old never re-joined") {
     val cfg = Blocking.Config()
     val projL = Scoring.projected(left).cache()
