@@ -7,7 +7,14 @@ import org.apache.spark.sql.SparkSession
   * the faithful sandbox realization of "spark-submit at N and 4N executors"
   * (north rule). Compares N=2 vs 4N=8 executors (8 vs 32 total cores).
   *
-  * Run: sbt "runMain graft.cli.ClusterScalingMain [nPages] [reps]".
+  * Run (BOTH env vars are required — the worker's ExecutorRunner builds the
+  * executor command from SPARK_HOME, and with SPARK_SCALA_VERSION unset the
+  * launcher scans `$SPARK_HOME/launcher/target/scala-*` build dirs that a
+  * binary distribution doesn't have and dies with "Cannot find any build
+  * directories"):
+  *
+  *   SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 \
+  *     sbt "runMain graft.cli.ClusterScalingMain [nPages] [reps] [baseN] [warmups] [execMemMb]"
   */
 object ClusterScalingMain {
 
