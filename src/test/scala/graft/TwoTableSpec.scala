@@ -158,6 +158,41 @@ class TwoTableSpec extends SparkSpec {
     assert(uni.join(projR.select($"id".as("id2")), Seq("id2"), "left_anti").count() == 0)
   }
 
+  test("two-table incremental ingest: union of per-batch delta MATCHES ≡ one-shot matches") {
+    import graft.core.ScoreAttrs
+    import spark.implicits._
+    val cfg = Blocking.Config()
+    val projL = Scoring.projected(left).localCheckpoint()
+    val projR = Scoring.projected(right).localCheckpoint()
+    val blocksL = Blocking.blockTableFromProjected(projL, cfg).localCheckpoint()
+    val blocksR = Blocking.blockTableFromProjected(projR, cfg).localCheckpoint()
+    // under Average composition a page's attrs are corpus-independent, so
+    // attrs computed once equal the accumulated-time attrs of every batch
+    val attrsL = Scoring.attrsWithIdf(spark, projL, Map.empty)
+      .toDF().localCheckpoint().as[ScoreAttrs]
+    val attrsR = Scoring.attrsWithIdf(spark, projR, Map.empty)
+      .toDF().localCheckpoint().as[ScoreAttrs]
+    def chunk(proj: org.apache.spark.sql.DataFrame, even: Boolean) =
+      proj.where(if (even) pmod($"id.hi", lit(2)) === 0 else pmod($"id.hi", lit(2)) =!= 0)
+        .select("id")
+    val (l1, l2) = (chunk(projL, even = true), chunk(projL, even = false))
+    val (r1, r2) = (chunk(projR, even = true), chunk(projR, even = false))
+    val blocksL1 = blocksL.join(l1, Seq("id"), "left_semi")
+    val blocksR1 = blocksR.join(r1, Seq("id"), "left_semi")
+    def matchesOf(pairs: org.apache.spark.sql.DataFrame) =
+      Scoring.scoreTwoTable(spark, pairs, attrsL, attrsR).toDF()
+        .where($"score" >= Scoring.Weights().threshold)
+        .select("url1", "url2")
+    val d1 = matchesOf(Blocking.deltaPairsTwoTable(blocksL1, blocksR1, l1, r1, cfg))
+    val d2 = matchesOf(Blocking.deltaPairsTwoTable(blocksL, blocksR, l2, r2, cfg))
+    val uni = d1.unionByName(d2).dropDuplicates("url1", "url2")
+      .orderBy("url1", "url2").collect()
+    val oneShot = Linkage.runTwoTable(spark, left, right)
+      .select("url1", "url2").orderBy("url1", "url2").collect()
+    assert(uni.sameElements(oneShot),
+      s"delta-match union (${uni.length}) differs from one-shot (${oneShot.length})")
+  }
+
   test("planted hot block: cross-join grid bounds tasks, exactly-once coverage") {
     val cap = 64
     val nl = 500L
