@@ -71,7 +71,14 @@ class PlanSpec extends SparkSpec {
     val pages = graft.fixtures.Fixture.pages(spark, 50).toDF()
     val proj = graft.scoring.Scoring.projected(pages)
     val plan = formatted(proj)
-    assert(plan.contains("avgpoolexpr"), "image pooling expression missing from plan")
+    // the SINGLE-PASS multi-image kernel, not the compositional
+    // regexp_extract_all chain (which re-ran the regex per reference and
+    // cost +34% on the er path — BENCH.md round-5)
+    assert(plan.contains("multiavgpoolexpr"), "multi-image pooling kernel missing from plan")
+    // (price extraction legitimately uses regexp; only the DATA-URI regex
+    // chain must stay out of the plan)
+    assert(!plan.contains("data:image/[a-zA-Z]"),
+      "regex-based data-URI extraction leaked back into the hot path")
     // one projection over the scan: html is consumed inside it, not re-read
     // (in the pipeline this frame is checkpointed, so downstream stages read
     // the pooled vector, never the html — EndToEndSpec covers that path)
