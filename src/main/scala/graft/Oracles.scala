@@ -406,6 +406,75 @@ object Oracles {
         |  FROM unnest(range(2000)) AS d(i)
         |), sz AS (SELECT entity, COUNT(*) AS size FROM doc GROUP BY 1)
         |SELECT CAST(size - 1 AS BIGINT) AS n_matches, COUNT(*) AS n_left_pages
-        |FROM sz WHERE size >= 2 GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM sz WHERE size >= 2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the incremental (deltaPairsTwoTable) run must reproduce the one-shot
+    // q41 matches exactly — same closed-form histogram as the q41 oracle
+    "q42_two_table_incremental" ->
+      """WITH doc AS (
+        |  SELECT (d.i // 23) * 8 +
+        |    CASE WHEN d.i % 23 < 1 THEN 0 WHEN d.i % 23 < 2 THEN 1
+        |         WHEN d.i % 23 < 3 THEN 2 WHEN d.i % 23 < 5 THEN 3
+        |         WHEN d.i % 23 < 7 THEN 4 WHEN d.i % 23 < 10 THEN 5
+        |         WHEN d.i % 23 < 15 THEN 6 ELSE 7 END AS entity
+        |  FROM unnest(range(2000)) AS d(i)
+        |), sz AS (SELECT entity, COUNT(*) AS size FROM doc GROUP BY 1)
+        |SELECT CAST(size - 1 AS BIGINT) AS n_matches, COUNT(*) AS n_left_pages
+        |FROM sz WHERE size >= 2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // full SQL replay of the q43 artifact: same token vocabulary (distinct
+    // lower-split tokens, ids = row_number over binary token order — Spark's
+    // UTF8 ordering ≡ DuckDB's default binary collation), same md5-derived
+    // dyadic vector components (x/256 with |x| ≤ 128: exact in float32, so
+    // the Parquet round trip the Spark side performs is bit-lossless), same
+    // 1/sqrt(df) IDF weights (IEEE double sqrt both engines)
+    "q43_embedding_artifact" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, t.tok AS token
+        |  FROM documents, unnest(str_split(lower(text), ' ')) AS t(tok)
+        |  WHERE t.tok <> ''
+        |), vocab AS (
+        |  SELECT token, CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS id
+        |  FROM (SELECT DISTINCT token FROM tok)
+        |), dfreq AS (
+        |  SELECT token, COUNT(*) AS df FROM tok GROUP BY 1
+        |)
+        |SELECT v.token, v.id,
+        |  ROUND(CAST(('0x' || substr(md5(v.token || ':0'), 1, 4))::INT % 256 - 128
+        |    AS DOUBLE) / 256.0, 6) AS v0,
+        |  ROUND(1.0 / sqrt(dfreq.df), 6) AS idf_w
+        |FROM vocab v JOIN dfreq USING (token) ORDER BY v.id""".stripMargin,
+
+    // closed-form media coverage per corpus variant: media is stripped for
+    // entity%3 == 0 ("strip_e0") or kept only there ("keep_e0"); coverage =
+    // media_rows/rows exactly (both the manifest-counter path and the
+    // per-partition sample are exact at this size), and the bias is the
+    // calibrated default (-11) above the 0.5 threshold, the fitted
+    // media-less handback (-11 + 1.6) below it (Scoring.Weights)
+    "q44_media_profile" ->
+      """WITH doc AS (
+        |  SELECT (d.i // 23) * 8 +
+        |    CASE WHEN d.i % 23 < 1 THEN 0 WHEN d.i % 23 < 2 THEN 1
+        |         WHEN d.i % 23 < 3 THEN 2 WHEN d.i % 23 < 5 THEN 3
+        |         WHEN d.i % 23 < 7 THEN 4 WHEN d.i % 23 < 10 THEN 5
+        |         WHEN d.i % 23 < 15 THEN 6 ELSE 7 END AS entity
+        |  FROM unnest(range(1500)) AS d(i)
+        |), agg AS (
+        |  SELECT 'keep_e0' AS case_id,
+        |    CAST(SUM(CASE WHEN entity % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS media_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM doc
+        |  UNION ALL
+        |  SELECT 'strip_e0',
+        |    CAST(SUM(CASE WHEN entity % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT)
+        |  FROM doc
+        |)
+        |SELECT case_id, media_rows, n_rows,
+        |  ROUND(CAST(media_rows AS DOUBLE) / n_rows, 6) AS coverage,
+        |  ROUND(CAST(media_rows AS DOUBLE) / n_rows, 6) AS coverage_sampled,
+        |  CAST(CASE WHEN CAST(media_rows AS DOUBLE) / n_rows >= 0.5
+        |       THEN ROUND(-11.0, 6) ELSE ROUND(-11.0 + 1.6, 6) END AS DOUBLE) AS bias
+        |FROM agg ORDER BY case_id""".stripMargin
   )
 }

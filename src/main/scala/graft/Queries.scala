@@ -415,4 +415,130 @@ object Queries {
       .groupBy("n_matches").agg(count(lit(1)).as("n_left_pages"))
       .orderBy("n_matches")
   }
+
+  /** Two-table INCREMENTAL linkage (Blocking.deltaPairsTwoTable under the
+    * external gate — round-5 VERDICT ask #1): both catalogs arrive in two
+    * batches (id-parity split); each batch's candidate pairs come from the
+    * delta primitive (old×old never re-joined), are scored, and the union
+    * of per-batch matches must equal the ONE-SHOT q41 result — so the same
+    * closed-form match-count histogram is the oracle. Any delta-coverage
+    * mistake (a pair emitted twice, missed, or regenerated old×old) shifts
+    * the histogram. */
+  def q42_two_table_incremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.blocking.Blocking
+    import graft.core.ScoreAttrs
+    import graft.scoring.Scoring
+    val cfg = Blocking.Config()
+    val pages = graft.fixtures.Fixture.pages(s, 2000).toDF()
+    val projL = Scoring.projected(pages.where(col("url").endsWith("/c0"))).localCheckpoint()
+    val projR = Scoring.projected(pages.where(!col("url").endsWith("/c0"))).localCheckpoint()
+    val blocksL = Blocking.blockTableFromProjected(projL, cfg).localCheckpoint()
+    val blocksR = Blocking.blockTableFromProjected(projR, cfg).localCheckpoint()
+    // Average composition: a page's attrs are corpus-independent, so attrs
+    // computed once equal every batch's accumulated-time attrs
+    val attrsL = Scoring.attrsWithIdf(s, projL, Map.empty).toDF().localCheckpoint().as[ScoreAttrs]
+    val attrsR = Scoring.attrsWithIdf(s, projR, Map.empty).toDF().localCheckpoint().as[ScoreAttrs]
+    def chunk(proj: DataFrame, even: Boolean) =
+      proj.where(if (even) pmod(col("id.hi"), lit(2)) === 0
+                 else pmod(col("id.hi"), lit(2)) =!= 0).select("id")
+    val (l1, l2) = (chunk(projL, even = true), chunk(projL, even = false))
+    val (r1, r2) = (chunk(projR, even = true), chunk(projR, even = false))
+    def matchesOf(pairs: DataFrame) =
+      Scoring.scoreTwoTable(s, pairs, attrsL, attrsR).toDF()
+        .where(col("score") >= Scoring.Weights().threshold)
+        .select("url1", "url2")
+    // batch 1: chunk-1 accumulated tables, everything new; batch 2: full
+    // accumulated tables, chunk 2 newly ingested on each side
+    val d1 = matchesOf(Blocking.deltaPairsTwoTable(
+      blocksL.join(l1, Seq("id"), "left_semi"),
+      blocksR.join(r1, Seq("id"), "left_semi"), l1, r1, cfg))
+    val d2 = matchesOf(Blocking.deltaPairsTwoTable(blocksL, blocksR, l2, r2, cfg))
+    d1.unionByName(d2).dropDuplicates("url1", "url2")
+      .groupBy("url1").agg(count(lit(1)).as("n_matches"))
+      .groupBy("n_matches").agg(count(lit(1)).as("n_left_pages"))
+      .orderBy("n_matches")
+  }
+
+  /** Pluggable frozen-embedding artifact under the external gate (round-5
+    * VERDICT ask #1): a NON-fixture artifact is derived deterministically
+    * from the documents table (token vocabulary ordered by token; dim-4
+    * vectors of md5-derived dyadic rationals — exactly representable in
+    * float32, so the Parquet round trip is bit-lossless), written via
+    * EmbeddingModel.writeParquet (which embeds the content fingerprint as a
+    * metadata row), loaded back via fromParquet(verify = true) — the load
+    * itself re-hashes and asserts the cached fingerprint — and consumed by
+    * idfWeightsFromNorm (vocab-bounded document frequencies under the
+    * loaded model). Output: the loaded artifact's vocab ids, first vector
+    * component, and per-token IDF weight, all recomputable in closed form
+    * by DuckDB from the same md5 arithmetic. */
+  def q43_embedding_artifact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.scoring.{EmbeddingModel, Scoring}
+    val docs = t(s, dir, "documents")
+    val w = Window.orderBy("token") // |vocab| rows — bounded, not a corpus window
+    def comp(j: Int): Column =
+      ((conv(substring(md5(concat(col("token"), lit(":" + j))), 1, 4), 16, 10)
+        .cast("int") % 256) - 128).cast("double") / 256.0
+    val artifact = docs
+      .select(explode(array_distinct(split(lower(col("text")), " "))).as("token"))
+      .where(col("token") =!= "").distinct()
+      .select(col("token"), row_number().over(w).cast("int").as("id"),
+        array((0 until 4).map(j => comp(j).cast("float")): _*).as("vector"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q43-artifact").toString
+    EmbeddingModel.writeParquet(s, EmbeddingModel.fromTable(artifact), tmp)
+    // verify = true: recomputes the content hash and asserts it matches the
+    // cached metadata row — the round trip is part of the gate
+    val model = EmbeddingModel.fromParquet(s, tmp, verify = true)
+    val idf = Scoring.idfWeightsFromNorm(s,
+      docs.select(lower(col("text")).as("norm")), model)
+    model.vocab.toSeq
+      .map { case (tok, id) =>
+        (tok, id.toLong, model.matrix(id)(0).toDouble, idf.getOrElse(id, 0.0))
+      }
+      .toDF("token", "id", "v0_raw", "idf_raw")
+      .select(col("token"), col("id"),
+        round(col("v0_raw"), 6).as("v0"), round(col("idf_raw"), 6).as("idf_w"))
+      .orderBy("id")
+  }
+
+  /** Content-measured media-coverage profile selection under the external
+    * gate (round-5 VERDICT asks #1/#2): two corpora derived from fixture
+    * pages by stripping the embedded data-URI image from a closed-form
+    * entity subset (entity%3 == 0 stripped vs kept); for each, the
+    * projected-stage snapshot records the EXACT media_rows counter, the
+    * manifest-counter path (Linkage.mediaCoverageFromManifest) and the
+    * bounded per-partition content sample must both report the exact
+    * coverage (every partition is within sampling quota here), and the
+    * selected weight profile's bias flips across the 0.5 threshold. */
+  def q44_media_profile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.scoring.Scoring
+    val pages = graft.fixtures.Fixture.pages(s, 1500).toDF()
+    val noMedia = encode(lit("<html><body>stripped</body></html>"), "UTF-8")
+    def profiled(name: String, stripMod0: Boolean) = {
+      val e = regexp_extract(col("url"), "/e([0-9]+)/", 1).cast("long") % 3
+      val corpus = pages.withColumn("html",
+        when(if (stripMod0) e === 0 else e =!= 0, noMedia).otherwise(col("html")))
+      val work = java.nio.file.Files.createTempDirectory(s"graft-q44-$name").toString
+      val store = new graft.lineage.SnapshotStore(s, work, resume = false)
+      store.stage("projected", "q44",
+        countersFromWritten = graft.pipeline.Linkage.mediaCounter) {
+        Scoring.projected(corpus)
+      }
+      val cov = graft.pipeline.Linkage.mediaCoverageFromManifest(s, work, "q44")
+        .getOrElse(-1.0)
+      val covSampled = Scoring.Weights.mediaCoverage(corpus)
+      (name, store.counter("projected", "media_rows").getOrElse(-1L),
+        store.counter("projected", "rows").getOrElse(-1L),
+        cov, covSampled, Scoring.Weights.forMediaCoverage(cov).bias)
+    }
+    Seq(profiled("keep_e0", stripMod0 = false), profiled("strip_e0", stripMod0 = true))
+      .toDF("case_id", "media_rows", "n_rows", "cov_raw", "cov_s_raw", "bias_raw")
+      .select(col("case_id"), col("media_rows"), col("n_rows"),
+        round(col("cov_raw"), 6).as("coverage"),
+        round(col("cov_s_raw"), 6).as("coverage_sampled"),
+        round(col("bias_raw"), 6).as("bias"))
+      .orderBy("case_id")
+  }
 }

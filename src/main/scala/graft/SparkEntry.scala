@@ -56,7 +56,10 @@ object SparkEntry {
     "q35_repetition" -> Queries.q35_repetition,
     "q36_shingle_novelty" -> Queries.q36_shingle_novelty,
     "q40_er_clusters" -> Queries.q40_er_clusters,
-    "q41_two_table" -> Queries.q41_two_table
+    "q41_two_table" -> Queries.q41_two_table,
+    "q42_two_table_incremental" -> Queries.q42_two_table_incremental,
+    "q43_embedding_artifact" -> Queries.q43_embedding_artifact,
+    "q44_media_profile" -> Queries.q44_media_profile
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

@@ -431,18 +431,41 @@ object Blocking {
     * Cache policy mirrors [[deltaPairs]]: only the small DERIVED new-side
     * frames persist; the accumulated tables (snapshot-backed in the intended
     * pattern) are re-scanned, and a caller-managed cross-batch cache is
-    * never dropped. */
+    * never dropped.
+    *
+    * maxBlock is enforced on the ACCUMULATED per-side sizes, not each leg's
+    * input frames (round-5 ADVICE): the legs see only slices of the tables
+    * (newL / oldL / newR), so gating inside the grid join would let a block
+    * whose accumulated size is over the cap — dropped entirely by the
+    * one-shot join — keep emitting oldL×newR / newL×accumR pairs every
+    * batch. Over-cap keys are pruned from every leg input up front (one
+    * partial-aggregating groupBy per accumulated side — the same shuffle
+    * shape the grid join's own size tables use), and the inner gate is
+    * disabled: a leg-input block is always ≤ its accumulated block, so after
+    * the prefilter the inner gate could never fire. */
   def deltaPairsTwoTable(accumLeft: DataFrame, accumRight: DataFrame,
                          newIdsLeft: DataFrame, newIdsRight: DataFrame,
                          cfg: Config = Config()): DataFrame = {
     val nl = newIdsLeft.select("id").distinct()
     val nr = newIdsRight.select("id").distinct()
-    val newL = accumLeft.join(nl, Seq("id"), "left_semi")
-    val oldL = accumLeft.join(nl, Seq("id"), "left_anti")
-    val newR = accumRight.join(nr, Seq("id"), "left_semi")
-    val aNew = saltedCrossJoinPairs(newL, accumRight, cfg.cap, cfg.maxBlock,
+    // over-cap block keys at the ACCUMULATED sizes (either side) — a tiny
+    // heavy-hitter set, anti-joined away from every leg input
+    val gate: DataFrame => DataFrame =
+      if (cfg.maxBlock > 0) {
+        def over(accum: DataFrame) = accum.groupBy("block_key")
+          .agg(count(lit(1)).as("n")).where(col("n") > cfg.maxBlock)
+          .select("block_key")
+        val overCap = over(accumLeft).unionByName(over(accumRight)).distinct()
+        e => e.join(overCap, Seq("block_key"), "left_anti")
+      } else identity
+    val aLeft = gate(accumLeft)
+    val aRight = gate(accumRight)
+    val newL = aLeft.join(nl, Seq("id"), "left_semi")
+    val oldL = aLeft.join(nl, Seq("id"), "left_anti")
+    val newR = aRight.join(nr, Seq("id"), "left_semi")
+    val aNew = saltedCrossJoinPairs(newL, aRight, cfg.cap, maxBlock = 0,
       persistLeft = true, persistRight = false)
-    val bNew = saltedCrossJoinPairs(oldL, newR, cfg.cap, cfg.maxBlock,
+    val bNew = saltedCrossJoinPairs(oldL, newR, cfg.cap, maxBlock = 0,
       persistLeft = false, persistRight = true)
     aNew.unionByName(bNew).dropDuplicates("id1", "id2")
   }

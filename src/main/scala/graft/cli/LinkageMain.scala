@@ -41,13 +41,6 @@ object LinkageMain {
       if (input.startsWith("fixture:")) Fixture.pages(spark, input.stripPrefix("fixture:").toLong).toDF()
       else spark.read.parquet(input)
 
-    // auto-profile: the calibrated default bias assumes embedded media; a
-    // text-only corpus (no html column) hands the inactive image family's
-    // logit headroom back to the bias (Scoring.Weights.profileFor)
-    val base = graft.scoring.Scoring.Weights.profileFor(pages)
-    val weights = opts.get("threshold")
-      .map(t => base.copy(threshold = t.toDouble))
-      .getOrElse(base)
     val composition = opts.get("composition") match {
       case Some("idf") => graft.scoring.Scoring.Idf
       case _ => graft.scoring.Scoring.Average
@@ -55,6 +48,19 @@ object LinkageMain {
     val embeddings = opts.get("embeddings")
       .map(p => graft.scoring.EmbeddingModel.fromParquet(spark, p))
       .getOrElse(graft.scoring.EmbeddingModel.fixture)
+    // auto-profile: the calibrated default bias assumes embedded media; a
+    // low-coverage corpus hands the inactive image family's logit headroom
+    // back to the bias (Scoring.Weights.forMediaCoverage). Coverage source,
+    // in preference order: EXACT projected-manifest counters on a resume
+    // (zero scans), else the bounded per-partition content sample.
+    val fpData = Linkage.fingerprintData(Linkage.Config(workDir = out,
+      composition = composition, embeddings = embeddings))
+    val base = (if (resume) Linkage.mediaCoverageFromManifest(spark, out, fpData) else None)
+      .map(graft.scoring.Scoring.Weights.forMediaCoverage)
+      .getOrElse(graft.scoring.Scoring.Weights.profileFor(pages))
+    val weights = opts.get("threshold")
+      .map(t => base.copy(threshold = t.toDouble))
+      .getOrElse(base)
     val cfg = Linkage.Config(workDir = out, resume = resume, weights = weights,
       composition = composition, embeddings = embeddings)
 
@@ -118,8 +124,22 @@ object LinkageMain {
     }
     // re-profile from BOTH sides: image features fire only when both tables
     // carry media, so a media-less --right table must hand the image
-    // family's bias headroom back even if the left table has html
-    val base = graft.scoring.Scoring.Weights.profileFor(left, right)
+    // family's bias headroom back even if the left table has html. On a
+    // resume, each side's EXACT projected-manifest coverage is preferred
+    // over the sampled measurement (min across sides — the bothImg gate).
+    val ttWorkDir = opts.getOrElse("out", "/tmp/graft-linkage") + "/two_table"
+    val fpData = Linkage.fingerprintDataTwoTable(Linkage.TwoTableConfig(
+      workDir = ttWorkDir, composition = composition, embeddings = embeddings))
+    val manifestCoverage =
+      if (opts.contains("resume"))
+        for {
+          l <- Linkage.mediaCoverageFromManifest(spark, ttWorkDir, fpData, "projected_l")
+          r <- Linkage.mediaCoverageFromManifest(spark, ttWorkDir, fpData, "projected_r")
+        } yield math.min(l, r)
+      else None
+    val base = manifestCoverage
+      .map(graft.scoring.Scoring.Weights.forMediaCoverage)
+      .getOrElse(graft.scoring.Scoring.Weights.profileFor(left, right))
     val weights = opts.get("threshold")
       .map(t => base.copy(threshold = t.toDouble)).getOrElse(base)
     val t0 = System.nanoTime()
@@ -127,7 +147,7 @@ object LinkageMain {
     // protocol as self-linkage; --resume skips completed stages
     val result = Linkage.runTwoTableStaged(spark, left, right,
       Linkage.TwoTableConfig(
-        workDir = opts.getOrElse("out", "/tmp/graft-linkage") + "/two_table",
+        workDir = ttWorkDir,
         resume = opts.contains("resume"),
         weights = weights, composition = composition, embeddings = embeddings))
     val matches = result.matches
@@ -148,18 +168,39 @@ object LinkageMain {
         val p = if (tp + fp == 0) 1.0 else tp.toDouble / (tp + fp)
         val r = if (tp + fn == 0) 1.0 else tp.toDouble / (tp + fn)
         val f1 = if (p + r == 0) 0.0 else 2 * p * r / (p + r)
-        // AUROC over every scored A×B candidate (label = planted truth;
-        // truth pairs the blocker missed rank at score 0) — the reference's
-        // headline metric, train_deeper.py:357-361
-        val ss = new graft.lineage.SnapshotStore(spark,
-            opts.getOrElse("out", "/tmp/graft-linkage") + "/two_table", resume = true)
-          .snapshot("scored")
+        // AUROC over EVERY A×B candidate ∪ planted truth (reference
+        // semantics: roc_auc_score over all labeled pairs,
+        // train_deeper.py:357-361). The scored snapshot holds only phase-2
+        // survivors, so phase-1-rejected candidates are re-included at
+        // score 0 (provably below threshold — Scoring.phase1Gate):
+        // rejected POSITIVES appear via the full join against truth
+        // (null score → 0); rejected NEGATIVES are reconstructed from the
+        // stage counters — midrank AUROC needs only their COUNT at score 0,
+        // not their identities (round-5 ADVICE: the metric previously
+        // silently excluded them).
+        val store = new graft.lineage.SnapshotStore(spark, ttWorkDir, resume = true)
+        val ss = store.snapshot("scored")
           .select(least(col("url1"), col("url2")).as("url1"),
             greatest(col("url1"), col("url2")).as("url2"), col("score"))
+        val nCand = result.counters.getOrElse("pairs.rows", 0L)
+        val nSurv = result.counters.getOrElse("scored.rows", 0L)
+        val truthIds = pt.where(col("url").endsWith("/c0"))
+          .select(col("url").as("ul"), col("entity_id")).as("a")
+          .join(pt.where(!col("url").endsWith("/c0"))
+            .select(col("url").as("ur"), col("entity_id")).as("b"), "entity_id")
+          .select(graft.blocking.Blocking.pageIdOf(col("ul")).as("id1"),
+            graft.blocking.Blocking.pageIdOf(col("ur")).as("id2"))
+        val nCandPos = store.snapshot("pairs")
+          .join(truthIds, Seq("id1", "id2"), "left_semi").count()
+        val nSurvPos = ss.join(truth, Seq("url1", "url2"), "left_semi").count()
+        val nRejNeg = math.max(0L, (nCand - nSurv) - (nCandPos - nSurvPos))
+        val rejectedNegatives = spark.range(nRejNeg)
+          .select(lit(0.0).as("score"), lit(0).as("label"))
         val auroc = graft.eval.Eval.auroc(
           ss.join(truth.withColumn("label", lit(1)), Seq("url1", "url2"), "full")
             .select(coalesce(col("score"), lit(0.0)).as("score"),
-              coalesce(col("label"), lit(0)).as("label")))
+              coalesce(col("label"), lit(0)).as("label"))
+            .unionByName(rejectedNegatives))
         f""","precision":$p%.6f,"recall":$r%.6f,"f1":$f1%.6f,"auroc":$auroc%.6f""" +
           s""","tp":$tp,"fp":$fp,"fn":$fn"""
       } else ""

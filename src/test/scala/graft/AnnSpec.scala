@@ -85,6 +85,28 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.3, f"recall $recall%.3f too low — double lane broken?")
   }
 
+  test("vector kernels reject non-float/double array inputs at ANALYSIS time (round-5 ADVICE)") {
+    // srp_bucket over array<int> previously routed to the double kernel —
+    // getDouble over int storage reads garbage lanes and emits deterministic
+    // wrong buckets (silent recall loss); now a checkInputDataTypes failure
+    import graft.functions.GraftFunctions
+    val ints = spark.range(4).select(array($"id".cast("int")).as("v"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(GraftFunctions.srp_bucket($"v", 8, 42L)).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(GraftFunctions.cosine_sim($"v", $"v")).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(GraftFunctions.inverse_l1($"v", $"v")).collect()
+    }
+    // the two legitimate element types still analyze and run
+    val fl = spark.range(4).select(array($"id".cast("float")).as("v"))
+    val db = spark.range(4).select(array($"id".cast("double")).as("v"))
+    assert(fl.select(GraftFunctions.srp_bucket($"v", 8, 42L)).count() == 4)
+    assert(db.select(GraftFunctions.cosine_sim($"v", $"v")).count() == 4)
+  }
+
   test("SRP-LSH scans far fewer candidates than brute force") {
     // bucket histogram: no bucket should hold a large fraction of the corpus
     val bucketed = emb.select(

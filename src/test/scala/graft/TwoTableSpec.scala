@@ -193,6 +193,37 @@ class TwoTableSpec extends SparkSpec {
       s"delta-match union (${uni.length}) differs from one-shot (${oneShot.length})")
   }
 
+  test("two-table deltas enforce maxBlock at ACCUMULATED per-side sizes (round-5 ADVICE)") {
+    import spark.implicits._
+    val cfg = Blocking.Config(cap = 4, maxBlock = 8)
+    def entries(ids: Seq[Long], key: Long) =
+      ids.toDF("id").select(lit(key).as("block_key"), $"id")
+    // block 7: left grows 5 → 10 rows (crosses maxBlock=8 at batch 2);
+    // block 9: stays small on both sides but gets no new rows at batch 2
+    val leftB1 = entries(0L until 5L, 7).unionByName(entries(100L to 102L, 9))
+    val right = entries(200L until 205L, 7).unionByName(entries(300L to 301L, 9))
+    val leftAdd = entries(5L until 10L, 7)
+    val leftB2 = leftB1.unionByName(leftAdd)
+    val noNew = spark.range(0).select($"id")
+    // batch 1: everything new, all blocks under cap → full A×B coverage
+    val d1 = Blocking.deltaPairsTwoTable(leftB1, right,
+      leftB1.select("id"), right.select("id"), cfg)
+    assert(d1.count() == 5L * 5 + 3L * 2)
+    // batch 2: block 7's ACCUMULATED left size is 10 > maxBlock — the
+    // pre-fix gate sized the legs' INPUT frames (newL = 5 rows, oldL = 5
+    // rows, both under cap) and kept emitting 5×5 pairs per batch; the
+    // accumulated gate must emit NOTHING (block 9 has no new rows either)
+    val d2 = Blocking.deltaPairsTwoTable(leftB2, right, leftAdd.select("id"), noNew, cfg)
+    assert(d2.count() == 0L,
+      "over-cap block leaked pairs through the delta legs' input-size gate")
+    // monotone emission: batch-1 pairs stand (they were emitted under cap);
+    // the ONE-SHOT join over the final tables drops block 7 entirely — the
+    // documented incremental-vs-one-shot divergence for crossing blocks
+    val oneShot = Blocking.saltedCrossJoinPairs(leftB2, right, cfg.cap, cfg.maxBlock,
+      persistLeft = false, persistRight = false).dropDuplicates("id1", "id2")
+    assert(oneShot.count() == 3L * 2)
+  }
+
   test("planted hot block: cross-join grid bounds tasks, exactly-once coverage") {
     val cap = 64
     val nl = 500L
