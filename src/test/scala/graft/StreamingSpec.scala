@@ -222,4 +222,83 @@ class StreamingSpec extends SparkSpec {
     assert(q31.exceptAll(fromState).count() == 0)
     assert(fromState.exceptAll(q31).count() == 0)
   }
+
+  test("streaming two-table ingest: right-catalog stream of chunks produces matches ≡ one-shot") {
+    import java.nio.file.{Files, Paths}
+    import graft.blocking.Blocking
+    import graft.core.ScoreAttrs
+    import graft.scoring.Scoring
+    val cfg = Blocking.Config()
+    val w = Scoring.Weights()
+    // stable LEFT catalog (canonical pages) vs a RIGHT catalog (duplicate
+    // copies) arriving as a real file stream — the round-5 VERDICT stretch
+    val pt = graft.fixtures.Fixture.pagesWithTruth(spark, 23L * 60).cache()
+    val left = pt.where($"url".endsWith("/c0")).drop("entity_id").cache()
+    val right = pt.where(!$"url".endsWith("/c0")).drop("entity_id").cache()
+    val projL = Scoring.projected(left).localCheckpoint()
+    val projR = Scoring.projected(right).localCheckpoint()
+    val blocksL = Blocking.blockTableFromProjected(projL, cfg).localCheckpoint()
+    // Average composition: a page's attrs are corpus-independent, so attrs
+    // computed once equal every batch's accumulated-time attrs
+    val attrsL = Scoring.attrsWithIdf(spark, projL, Map.empty)
+      .toDF().localCheckpoint().as[ScoreAttrs]
+    val attrsR = Scoring.attrsWithIdf(spark, projR, Map.empty)
+      .toDF().localCheckpoint().as[ScoreAttrs]
+
+    val d = Files.createTempDirectory("graft-tt-stream")
+    def writeChunk(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-tt-chunk").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(d.toString, name))
+    }
+    // two drops with a 50-page duplicate-url overlap: the within-watermark
+    // dedup must absorb it, or the overlap pages re-pair in batch 2 and the
+    // per-batch disjointness assertion below fails
+    val first = right.where(xxhash64($"url") % 2 === 0)
+    val second = right.where(xxhash64($"url") % 2 =!= 0)
+    writeChunk(first, "000.parquet")
+    writeChunk(second.unionByName(first.limit(50)), "001.parquet")
+
+    // foreachBatch IS the deployment shape: each micro-batch appends its NEW
+    // block entries to the accumulated right table, then emits that batch's
+    // delta matches — old×old never re-joined (newIdsLeft stays empty: the
+    // left catalog is stable)
+    val noNewLeft = blocksL.select("id").limit(0).localCheckpoint()
+    var accumBlocksR: org.apache.spark.sql.DataFrame = null
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Set[(String, String)]]
+    val stream = spark.readStream.schema(right.schema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+    val q = Streams.ingestBlockTable(stream).writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.localCheckpoint()
+        if (b.count() > 0) {
+          val newIds = b.select("id").distinct().localCheckpoint()
+          accumBlocksR = (if (accumBlocksR == null) b
+                          else accumBlocksR.unionByName(b)).localCheckpoint()
+          val m = Streams.twoTableDeltaMatches(spark, blocksL, accumBlocksR,
+            noNewLeft, newIds, attrsL, attrsR, w, cfg)
+          perBatch += m.select("url1", "url2").collect()
+            .map(r => (r.getString(0), r.getString(1))).toSet
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    assert(perBatch.size == 2, s"expected 2 micro-batches, saw ${perBatch.size}")
+    // per-batch emissions are FINAL and disjoint (nothing re-emitted)
+    assert(perBatch(0).intersect(perBatch(1)).isEmpty,
+      "batch 2 re-emitted a batch-1 match — dedup or delta coverage broken")
+    // union over batches ≡ the one-shot two-table run on the final catalogs
+    val streamed = perBatch.reduce(_ ++ _)
+    val oneShot = graft.pipeline.Linkage.runTwoTable(spark, left, right)
+      .select("url1", "url2").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(streamed == oneShot,
+      s"streamed matches (${streamed.size}) differ from one-shot (${oneShot.size})")
+  }
 }
