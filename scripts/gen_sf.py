@@ -11,12 +11,20 @@ same content repeated:
   r * (max_key + 1)).
 - events: event_id/user_id shifted, timestamps unchanged (a bigger corpus
   fills the same time range more densely).
-- documents: doc_id shifted; replica r > 0 gets a token map (every token
-  with hash % 3 == 0 gains a '~r' suffix -> cross-replica Jaccard ~ 0.5,
-  far below every near-dup threshold) and a per-replica source tag
-  (10x the corpus = more sources of the same size distribution, so
-  (lang, source) blocking keeps block sizes constant -- the blocking
-  scale model, not a 100x within-block pair blow-up).
+- documents: doc_id shifted; replica r > 0 suffixes EVERY token with '~r'.
+  The map is a bijection on token strings, so within-replica Jaccard is
+  EXACTLY preserved (near-dup structure per replica identical to sf0.1)
+  while cross-replica token sets are disjoint by construction -> Jaccard
+  = 0 for every cross-replica pair, provably below every threshold even
+  for the unblocked ops (q22 minhash / q23 simhash). An earlier cut
+  suffixed only tokens with hash % 3 == 0; with docs of 6-31 distinct
+  tokens the realized per-doc suffix fraction ranged 0-0.54, so measured
+  cross-replica Jaccard ranged 0.30-1.0 (mean 0.58) -- f = 0 docs were
+  byte-identical across replicas, breaking the separation claim in the
+  tail. Replica r > 0 also gets a per-replica source tag (10x the corpus
+  = more sources of the same size distribution, so (lang, source)
+  blocking keeps block sizes constant -- the blocking scale model, not a
+  100x within-block pair blow-up).
 - embeddings: vec_id shifted; replica r > 0 gets a deterministic per-
   coordinate sign-flip pattern (cross-replica cosine ~ N(0, 1/8) at
   dim 64 -- no cross-replica near-dup pairs at tau = 0.4).
@@ -86,12 +94,10 @@ def main(out_dir, replicas):
         return f"""
       SELECT doc_id + {r * D} AS doc_id,
              array_to_string(list_transform(str_split(text, ' '),
-               x -> CASE WHEN hash(x) % 3 = 0 THEN x || '~{r}' ELSE x END),
-               ' ') AS text,
+               x -> x || '~{r}'), ' ') AS text,
              lang, source || '~{r}' AS source,
              CAST(length(array_to_string(list_transform(str_split(text, ' '),
-               x -> CASE WHEN hash(x) % 3 = 0 THEN x || '~{r}' ELSE x END),
-               ' ')) AS BIGINT) AS n_chars
+               x -> x || '~{r}'), ' ')) AS BIGINT) AS n_chars
       FROM '{SRC}/documents.parquet'"""
     replicate_sql(con, "documents", out_dir, replicas, doc_select)
 

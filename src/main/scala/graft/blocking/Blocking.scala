@@ -448,16 +448,25 @@ object Blocking {
                          cfg: Config = Config()): DataFrame = {
     val nl = newIdsLeft.select("id").distinct()
     val nr = newIdsRight.select("id").distinct()
-    // over-cap block keys at the ACCUMULATED sizes (either side) — a tiny
-    // heavy-hitter set, anti-joined away from every leg input
-    val gate: DataFrame => DataFrame =
+    // over-cap block keys at the ACCUMULATED sizes (either side) — a small
+    // heavy-hitter set (≤ accumulated rows / maxBlock keys), anti-joined away
+    // from every leg input. PERSISTED for the call's duration: the gate
+    // subtree is embedded in all four leg inputs across two separately
+    // planned joins, and cross-plan exchange reuse is not guaranteed — an
+    // unpersisted gate could re-aggregate both full accumulated tables up to
+    // 4× per batch. It is a frame this function DERIVES (not caller-supplied),
+    // so the persist cannot clobber a caller's cache; released by the same
+    // consumer-scoped listener the salted-join entry caches use.
+    val (gate, overCapCache) =
       if (cfg.maxBlock > 0) {
         def over(accum: DataFrame) = accum.groupBy("block_key")
           .agg(count(lit(1)).as("n")).where(col("n") > cfg.maxBlock)
           .select("block_key")
         val overCap = over(accumLeft).unionByName(over(accumRight)).distinct()
-        e => e.join(overCap, Seq("block_key"), "left_anti")
-      } else identity
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ((e: DataFrame) => e.join(overCap, Seq("block_key"), "left_anti"),
+          Some(overCap))
+      } else (identity[DataFrame] _, None)
     val aLeft = gate(accumLeft)
     val aRight = gate(accumRight)
     val newL = aLeft.join(nl, Seq("id"), "left_semi")
@@ -467,7 +476,9 @@ object Blocking {
       persistLeft = true, persistRight = false)
     val bNew = saltedCrossJoinPairs(oldL, newR, cfg.cap, maxBlock = 0,
       persistLeft = false, persistRight = true)
-    aNew.unionByName(bNew).dropDuplicates("id1", "id2")
+    val out = aNew.unionByName(bNew).dropDuplicates("id1", "id2")
+    overCapCache.foreach(oc => releaseAfterConsumed(Seq(oc), Seq(out)))
+    out
   }
 
   /** ER candidate pairs: the salted self-join over the MinHash+domain block

@@ -157,8 +157,12 @@ object LinkageMain {
     val evalJson =
       if (input.startsWith("fixture:") && rightSpec == "split" && opts.contains("eval")) {
         val pt = Fixture.pagesWithTruth(spark, input.stripPrefix("fixture:").toLong)
-        val truth = pt.where(col("url").endsWith("/c0")).select(col("url").as("ul"), col("entity_id")).as("a")
+        // one truth join, cached: both the url-pair form (P/R/F1, AUROC) and
+        // the id-pair form (candidate-positive count below) derive from it
+        val truthRaw = pt.where(col("url").endsWith("/c0")).select(col("url").as("ul"), col("entity_id")).as("a")
           .join(pt.where(!col("url").endsWith("/c0")).select(col("url").as("ur"), col("entity_id")).as("b"), "entity_id")
+          .select(col("ul"), col("ur")).cache()
+        val truth = truthRaw
           .select(least(col("ul"), col("ur")).as("url1"), greatest(col("ul"), col("ur")).as("url2"))
         val pred = matches.select(least(col("url1"), col("url2")).as("url1"),
           greatest(col("url1"), col("url2")).as("url2"))
@@ -184,10 +188,7 @@ object LinkageMain {
             greatest(col("url1"), col("url2")).as("url2"), col("score"))
         val nCand = result.counters.getOrElse("pairs.rows", 0L)
         val nSurv = result.counters.getOrElse("scored.rows", 0L)
-        val truthIds = pt.where(col("url").endsWith("/c0"))
-          .select(col("url").as("ul"), col("entity_id")).as("a")
-          .join(pt.where(!col("url").endsWith("/c0"))
-            .select(col("url").as("ur"), col("entity_id")).as("b"), "entity_id")
+        val truthIds = truthRaw
           .select(graft.blocking.Blocking.pageIdOf(col("ul")).as("id1"),
             graft.blocking.Blocking.pageIdOf(col("ur")).as("id2"))
         val nCandPos = store.snapshot("pairs")

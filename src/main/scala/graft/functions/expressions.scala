@@ -23,7 +23,19 @@ private[functions] trait FloatOrDoubleArrayInputs { self: Expression =>
         TypeCheckResult.TypeCheckFailure(
           s"argument ${i + 1} of ${self.prettyName} requires array<float> or " +
             s"array<double>, got ${e.dataType.catalogString}")
-    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+    }.getOrElse {
+      // The kernels dispatch on ONE side's element type (isFloat reads the
+      // left/only child), so a mixed array<float> × array<double> call would
+      // read 4-byte views of 8-byte lanes on the other side — the same
+      // silent-garbage class this trait rejects for ints. Require agreement.
+      val elems = vectorInputs.map(_.dataType.asInstanceOf[ArrayType].elementType)
+      if (elems.distinct.size > 1)
+        TypeCheckResult.TypeCheckFailure(
+          s"${self.prettyName} requires all vector arguments to share one element " +
+            s"type, got ${vectorInputs.map(_.dataType.catalogString).mkString(" vs ")}" +
+            "; cast one side (float and double kernels cannot mix)")
+      else TypeCheckResult.TypeCheckSuccess
+    }
   }
 }
 

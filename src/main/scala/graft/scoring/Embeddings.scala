@@ -73,8 +73,21 @@ object EmbeddingModel {
     * start otherwise). */
   def writeParquet(spark: SparkSession, model: EmbeddingModel, path: String): Unit = {
     import spark.implicits._
+    require(model.vocab.nonEmpty, "refusing to write an artifact with an empty vocabulary")
     val data = model.vocab.toSeq.map { case (tok, id) => (tok, id, model.matrix(id)) }
-    val meta = (FingerprintToken + model.computedFingerprint, 0, Array.empty[Float])
+    // Only vocab-mapped rows are serialized, so the cached fingerprint must
+    // describe the artifact AS READ BACK (matrix truncated to the max vocab
+    // id, unreachable/gap/padding rows zeroed — exactly fromTable's
+    // reconstruction), not the in-memory model: a model carrying a nonzero
+    // unreachable row would otherwise round-trip into a verify=true failure
+    // on an honest artifact, or (verify=false) a fingerprint describing
+    // content that was never loaded.
+    val maxId = model.vocab.values.max
+    val kept = model.vocab.values.toSet
+    val canonical = EmbeddingModel(model.vocab,
+      Array.tabulate(maxId + 1)(i =>
+        if (i >= 1 && kept(i)) model.matrix(i) else new Array[Float](model.dim)))
+    val meta = (FingerprintToken + canonical.computedFingerprint, 0, Array.empty[Float])
     (data :+ meta).toDF("token", "id", "vector")
       .repartition(1).write.mode("overwrite").parquet(path)
   }

@@ -335,6 +335,41 @@ class ScoringSpec extends SparkSpec {
     assert(trusting.computedFingerprint != trusting.fingerprint)
   }
 
+  test("writeParquet fingerprints the artifact AS SERIALIZED: nonzero unreachable rows round-trip verify-clean") {
+    // a model whose matrix carries content the vocab can't reach — a nonzero
+    // padding row 0, a gap id, and a trailing row past the max vocab id.
+    // writeParquet drops all three (only vocab-mapped rows serialize), so a
+    // fingerprint of the in-memory model would misdescribe the artifact as
+    // read back: verify=true would reject an honest file, and verify=false
+    // would key resumes on content that was never loaded. The cached
+    // fingerprint must describe the canonical (as-read-back) model instead.
+    val dim = 4
+    val junk = Array.fill(dim)(9.9f)
+    val matrix = Array(
+      junk.clone(),             // nonzero padding row 0 (unreachable)
+      Array(1f, 2f, 3f, 4f),    // id 1 (vocab-mapped)
+      junk.clone(),             // id 2: gap (no vocab entry)
+      Array(5f, 6f, 7f, 8f),    // id 3 (vocab-mapped)
+      junk.clone())             // id 4: trailing, past max vocab id
+    val model = graft.scoring.EmbeddingModel(Map("alpha" -> 1, "beta" -> 3), matrix)
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb-canon").toString
+    graft.scoring.EmbeddingModel.writeParquet(spark, model, dir)
+    // verify=true passes: the cached hash matches what fromTable reconstructs
+    val loaded = graft.scoring.EmbeddingModel.fromParquet(spark, dir, verify = true)
+    assert(loaded.fingerprint == loaded.computedFingerprint)
+    // the reachable content survives; the junk rows read back as zeros and
+    // the trailing row is gone entirely
+    assert(loaded.matrix(1).sameElements(Array(1f, 2f, 3f, 4f)))
+    assert(loaded.matrix(3).sameElements(Array(5f, 6f, 7f, 8f)))
+    assert(loaded.matrix(0).forall(_ == 0f) && loaded.matrix(2).forall(_ == 0f))
+    assert(loaded.matrix.length == 4)
+    // and the cached fingerprint is NOT the in-memory model's (which hashed
+    // the junk) — it is the canonical one, so both load paths agree forever
+    assert(loaded.fingerprint != model.computedFingerprint)
+    val reloaded = graft.scoring.EmbeddingModel.fromParquet(spark, dir)
+    assert(reloaded.computedFingerprint == loaded.fingerprint)
+  }
+
   test("numeric sims wired with reference semantics into score") {
     // identical price across dup copies → num_sim = exp(0) = 1 for positives
     val attrs = Scoring.attrs(spark, pages)
