@@ -203,14 +203,35 @@ object Dedup {
     * quadratic in the bucket and joining vectors back at pair level costs
     * ~n_b²·|vec| shuffle bytes; payload replication costs only n_b·k·|vec|
     * (k = ceil(n_b/cap) ≪ n_b/2), and the cosine evaluates inside the join
-    * with no further shuffle (measured 2.3× on q25). */
+    * with no further shuffle (measured 2.3× on q25).
+    *
+    * `tables` is the recall lever (the L-tables LSH construction — same
+    * lever as [[Ann.srpTopK]] and the minhash BANDS): a pair is a candidate
+    * if its two vectors agree on all `nBits` signs in ANY of the `tables`
+    * independent SRP codes, so candidate recall at cosine τ is
+    * 1 − (1 − p^nBits)^tables with p = 1 − arccos(τ)/π. A single table at
+    * near-dup thresholds is a recall cliff (nBits = 12, τ = 0.9 → 0.16);
+    * nBits = 8 × tables = 12 holds ~0.98 at τ = 0.9 for 12× the entry rows
+    * — linear cost for exponential recall. Each table is an independent
+    * block space (block_key = hash(table, bucket)); a pair sharing several
+    * tables dedups at the end like every emitted pair. Symmetric self-join,
+    * so no multiprobe needed (both sides land in all tables). */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        tau: Double, nBits: Int = 12, seed: Long = 42L,
-                       cap: Int = 256, maxBlock: Int = 0): DataFrame = {
-    val bucket =
-      if (nBits <= 0) lit(0) else GraftFunctions.srp_bucket(col(vecCol), nBits, seed)
-    val entries = df.select(bucket.as("block_key"), col(idCol).as("id"),
-      col(vecCol).as("v"))
+                       cap: Int = 256, maxBlock: Int = 0,
+                       tables: Int = 1): DataFrame = {
+    val entries =
+      if (nBits <= 0)
+        df.select(lit(0L).as("block_key"), col(idCol).as("id"), col(vecCol).as("v"))
+      else if (tables <= 1)
+        df.select(GraftFunctions.srp_bucket(col(vecCol), nBits, seed).as("block_key"),
+          col(idCol).as("id"), col(vecCol).as("v"))
+      else
+        df.select(col(idCol).as("id"), col(vecCol).as("v"),
+          explode(array((0 until tables).map(t =>
+            xxhash64(lit(t),
+              GraftFunctions.srp_bucket(col(vecCol), nBits, seed + 7919L * t))): _*))
+            .as("block_key"))
     Blocking.saltedSelfJoinPairs(entries, cap, maxBlock, payload = Seq("v"))
       .select(col("id1"), col("id2"),
         GraftFunctions.cosine_sim(col("v_1"), col("v_2")).as("cosine"))

@@ -107,6 +107,49 @@ class AnnSpec extends SparkSpec {
     assert(db.select(GraftFunctions.cosine_sim($"v", $"v")).count() == 4)
   }
 
+  test("multi-table embedding near-dup: recall >= 0.9 at tau=0.9 where single-table cliffs") {
+    // planted near-dup corpus: 200 base vectors (dim 32), each with one noisy
+    // copy at cosine >= 0.9 — the regime embedding near-dup exists for. The
+    // analytical candidate recall at tau = 0.9 (p = 1 - acos(.9)/pi = .856):
+    // single table nBits=12 -> p^12 = 0.16; nBits=8 x 12 tables -> 0.98.
+    val rnd = new scala.util.Random(20260817L)
+    val dim = 32
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val rows = (0 until 200).flatMap { i =>
+      val base = unit(Array.fill(dim)(rnd.nextGaussian()))
+      // perturb along a random orthogonal-ish direction, then renormalize;
+      // eps chosen so cosine lands in [0.9, 0.98]
+      val eps = 0.25 + rnd.nextDouble() * 0.15
+      val noise = Array.fill(dim)(rnd.nextGaussian() * eps / math.sqrt(dim))
+      val copy = unit(base.zip(noise).map { case (a, b) => a + b })
+      Seq((i.toLong * 2, base), (i.toLong * 2 + 1, copy))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val exact = graft.operators.Dedup
+      .embeddingNearDup(df, "vec_id", "embedding", tau = 0.9, nBits = 0)
+      .select("id1", "id2").cache()
+    val nExact = exact.count()
+    assert(nExact >= 150, s"planted corpus only produced $nExact pairs >= 0.9")
+    def recallOf(nBits: Int, tables: Int): Double = {
+      val got = graft.operators.Dedup.embeddingNearDup(
+        df, "vec_id", "embedding", tau = 0.9, nBits = nBits, tables = tables)
+        .select("id1", "id2")
+      got.intersect(exact).count().toDouble / nExact
+    }
+    val single = recallOf(12, 1)
+    val multi = recallOf(8, 12)
+    info(f"recall tau=0.9: single-table(12 bits)=$single%.3f multi(8x12)=$multi%.3f")
+    assert(multi >= 0.9, f"multi-table recall $multi%.3f below gate")
+    assert(multi > single, "tables lever did not raise recall")
+    // precision is structural: same exact-cosine filter on both paths
+    val lsh = graft.operators.Dedup.embeddingNearDup(
+      df, "vec_id", "embedding", tau = 0.9, nBits = 8, tables = 12)
+      .select("id1", "id2")
+    assert(lsh.except(exact).count() == 0, "LSH emitted a pair the exact path lacks")
+  }
+
   test("SRP-LSH scans far fewer candidates than brute force") {
     // bucket histogram: no bucket should hold a large fraction of the corpus
     val bucketed = emb.select(
