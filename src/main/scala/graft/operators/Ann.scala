@@ -80,7 +80,13 @@ object Ann {
       explode(flatten(array((0 until tables).map(t =>
         transform(probes(bucketCol(t, col(vecCol), nBits, seed), nBits),
           b => struct(lit(t).as("t"), b.as("b")))): _*))).as("bucket"))
-    val scored = capped.join(q, Seq("bucket"))
+    // explicit broadcast of the QUERY side: both join inputs are
+    // explode-replicated, so static size estimates are unreliable either way
+    // (see saltedSelfJoinPairs' merge-hint note) — but here the intended
+    // asymmetry is structural: queries × tables × (nBits+1) probes is small
+    // by contract (bruteTopK already broadcasts q), while the capped corpus
+    // entries are corpus-sized and must never be the build side
+    val scored = capped.join(broadcast(q), Seq("bucket"))
       .where(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
         GraftFunctions.cosine_sim(col("qv"), col("cv")).as("cosine"))
