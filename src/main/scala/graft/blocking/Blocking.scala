@@ -217,26 +217,32 @@ object Blocking {
       payload.flatMap(p => Seq(
         when(lid < rid, col(s"l.$p")).otherwise(col(s"r.$p")).as(s"${p}_1"),
         when(lid < rid, col(s"r.$p")).otherwise(col(s"l.$p")).as(s"${p}_2")))
-    // MERGE hint on every pair-grid join: its inputs are explode-replicated
-    // (and payload-carrying), so Catalyst's STATIC size estimate — file size
-    // propagated through Generate, which does not model the ×(k−1) fan-out —
-    // can land under autoBroadcastJoinThreshold and plan a BroadcastHashJoin.
-    // That is wrong in both directions at once: at web scale the replicated
-    // side is large by construction (driver-side broadcast build = OOM), and
-    // on a single-file input the non-broadcast side keeps the SCAN's
-    // parallelism, collapsing the whole salt grid onto 1-2 tasks (measured:
-    // q25 at sf1, one parquet file → one 2-task stage, 150 s of a 157 s
-    // query; merge-hinted, the same query runs the grid at full shuffle
-    // parallelism). The grid design assumes a shuffle join — the hint makes
-    // that explicit instead of estimate-dependent, and AQE can still
-    // skew-split a sort-merge join but will not demote it to broadcast.
-    val cross = roleEntries(sized, left = true, payload).as("l").hint("merge")
+    // SHUFFLE_HASH hint on every pair-grid join: its inputs are
+    // explode-replicated (and payload-carrying), so Catalyst's STATIC size
+    // estimate — file size propagated through Generate, which does not model
+    // the ×(k−1) fan-out — can land under autoBroadcastJoinThreshold and
+    // plan a BroadcastHashJoin. That is wrong in both directions at once: at
+    // web scale the replicated side is large by construction (driver-side
+    // broadcast build = OOM), and on a single-file input the non-broadcast
+    // side keeps the SCAN's parallelism, collapsing the whole salt grid onto
+    // 1-2 tasks (measured: q25 at sf1, one parquet file → one 2-task stage,
+    // 150 s of a 157 s query; hinted, the same query runs the grid at full
+    // shuffle parallelism). The grid design assumes a shuffle join — the
+    // hint makes that explicit instead of estimate-dependent. SHUFFLE_HASH
+    // over MERGE deliberately: a MERGE hint was measured 2.3× slower on the
+    // 1M-page er pipeline (257 s → 597 s; the sorts of the full entry tables
+    // dominate) and its concurrent sort memory broke the 8 GiB single-JVM
+    // heap. The hash build side is per-partition-bounded by the engine's
+    // partition-sizing contract (shuffle.partitions scales with SF), and the
+    // grid itself bounds per-KEY groups at ~2·cap, so build maps stay small
+    // and uniform — the exact workload shuffled-hash join exists for.
+    val cross = roleEntries(sized, left = true, payload).as("l").hint("shuffle_hash")
       .join(roleEntries(sized, left = false, payload).as("r"),
         col("l.block_key") === col("r.block_key") && col("l.bucket") === col("r.bucket"))
       .select(crossCols: _*)
     val sameCols = lid.as("id1") +: rid.as("id2") +:
       payload.flatMap(p => Seq(col(s"l.$p").as(s"${p}_1"), col(s"r.$p").as(s"${p}_2")))
-    val same = sized.as("l").hint("merge").join(sized.as("r"),
+    val same = sized.as("l").hint("shuffle_hash").join(sized.as("r"),
         col("l.block_key") === col("r.block_key") &&
         col("l.salt") === col("r.salt") && lid < rid)
       .select(sameCols: _*)
@@ -318,9 +324,9 @@ object Blocking {
       persistLeft, persistRight)
     val outCols = col("l.id").as("id1") +: col("r.id").as("id2") +:
       payload.flatMap(p => Seq(col(s"l.$p").as(s"${p}_1"), col(s"r.$p").as(s"${p}_2")))
-    // merge-hinted for the same reason as the self-join grid: replicated
-    // inputs defeat static size estimates (see saltedSelfJoinPairs)
-    val out = l.as("l").hint("merge").join(r.as("r"),
+    // shuffle_hash-hinted for the same reason as the self-join grid:
+    // replicated inputs defeat static size estimates (see saltedSelfJoinPairs)
+    val out = l.as("l").hint("shuffle_hash").join(r.as("r"),
         col("l.block_key") === col("r.block_key") &&
         col("l.bucket") === col("r.bucket"))
       .select(outCols: _*)
