@@ -236,13 +236,34 @@ object Blocking {
     // partition-sizing contract (shuffle.partitions scales with SF), and the
     // grid itself bounds per-KEY groups at ~2·cap, so build maps stay small
     // and uniform — the exact workload shuffled-hash join exists for.
-    val cross = roleEntries(sized, left = true, payload).as("l").hint("shuffle_hash")
-      .join(roleEntries(sized, left = false, payload).as("r"),
+    //
+    // Each side is REPARTITIONED BY NUMBER on the FULL grid key before the
+    // join, for two independent reasons. (1) Skew: with subset
+    // co-partitioning allowed (requireAllClusterKeysForCoPartition=false),
+    // an un-pinned shuffle join happily reuses the upstream block_key-only
+    // exchange — which puts every salt bucket of a hot block back into ONE
+    // partition, physically undoing the grid's whole point. Partitioning on
+    // (block_key, bucket)/(block_key, salt) lands the salt split in the
+    // actual exchange. (2) Wave packing: these tasks are CPU-dense per byte
+    // (up to ~cap² scored pairs per grid cell), so AQE's byte-based
+    // coalescing badly under-partitions them — measured at 1M pages merging
+    // the grid+scoring stage to 36 tasks of ~112 s (a third of the cores
+    // idle behind the last wave; 2× wall at local[8]). A numbered
+    // repartition is exempt from AQE coalescing and replaces — not adds to —
+    // the exchange the join needs anyway.
+    val n = gridPartitions(entries)
+    val lRole = roleEntries(sized, left = true, payload)
+      .repartition(n, col("block_key"), col("bucket"))
+    val rRole = roleEntries(sized, left = false, payload)
+      .repartition(n, col("block_key"), col("bucket"))
+    val cross = lRole.as("l").hint("shuffle_hash")
+      .join(rRole.as("r"),
         col("l.block_key") === col("r.block_key") && col("l.bucket") === col("r.bucket"))
       .select(crossCols: _*)
     val sameCols = lid.as("id1") +: rid.as("id2") +:
       payload.flatMap(p => Seq(col(s"l.$p").as(s"${p}_1"), col(s"r.$p").as(s"${p}_2")))
-    val same = sized.as("l").hint("shuffle_hash").join(sized.as("r"),
+    val sizedP = sized.repartition(n, col("block_key"), col("salt"))
+    val same = sizedP.as("l").hint("shuffle_hash").join(sizedP.as("r"),
         col("l.block_key") === col("r.block_key") &&
         col("l.salt") === col("r.salt") && lid < rid)
       .select(sameCols: _*)
@@ -251,13 +272,42 @@ object Blocking {
     out
   }
 
+  /** Partition count for the pair-grid joins (and hence the scoring stage
+    * fused behind them). Grid tasks are CPU-bound — up to ~cap² candidate
+    * pairs per (block_key, bucket) cell — so their count must track CORES ×
+    * WAVES, not shuffle bytes: byte-based sizing (AQE coalescing, or
+    * shuffle.partitions tuned for IO-bound stages) under-partitions them by
+    * an order of magnitude. Default 8 waves over the scheduler's parallelism
+    * keeps the tail of an uneven last wave under ~1/8 of the stage; override
+    * with `graft.blocking.gridPartitions` when corpus/core ratio is extreme
+    * (the per-partition SHJ build must fit executor memory, so at fixed
+    * cores partitions ultimately scale with data — same contract as
+    * shuffle.partitions). */
+  private def gridPartitions(df: DataFrame): Int = {
+    val spark = df.sparkSession
+    spark.conf.getOption("graft.blocking.gridPartitions").map(_.toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism * 8)
+  }
+
   /** Entries of multi-row blocks with their salt: (block_key, k, salt, id,
     * payload*) — salt = hash(id) mod k, k = ceil(n/cap). */
   private def sizedEntries(entries: DataFrame, cap: Int, maxBlock: Int,
                            payload: Seq[String]): DataFrame = {
     val sizes = entries.groupBy("block_key").agg(count(lit(1)).as("n"))
       .where(col("n") > 1 && (if (maxBlock > 0) col("n") <= maxBlock else lit(true)))
-    entries.join(sizes, "block_key")
+    // The size join is SHUFFLE_HASH-hinted BUILDING THE SIZES SIDE, for the
+    // same reason the grid joins are hinted (see saltedSelfJoinPairs): both
+    // sides are corpus-scale (entries ~ rows × keys; sizes ~ distinct
+    // multi-row blocks), so neither may ever be broadcast — and with
+    // in-memory lineage Catalyst's optimistic size estimates DO pick one:
+    // measured at 800k pages / local[8], the un-hinted plan broadcast the
+    // 13.6M-row entries side (a 1.34 GB driver-side single-threaded hash
+    // build; whole-job CPU utilization fell to 41% while 8 cores idled
+    // behind it — and at web scale that collect is a driver OOM outright).
+    // Hinted, sizes shuffles by block_key and each task builds only its
+    // partition's slice; entries streams through the same exchange the grid
+    // below needs anyway.
+    entries.join(sizes.hint("shuffle_hash"), "block_key")
       .withColumn("k", ceil(col("n") / cap).cast("int"))
       .withColumn("salt", pmod(xxhash64(col("id"), lit(SaltSeed)), col("k")).cast("int"))
       .select(("block_key" +: "k" +: "salt" +: "id" +: payload).map(col): _*)
@@ -284,7 +334,12 @@ object Blocking {
       // same-salt direct join covers all their pairs
       .where(col("k") > 1)
       .withColumn("bucket", explode(buckets))
-      .select(("block_key" +: "bucket" +: "id" +: payload).map(col): _*)
+      // canonical field nullability — see crossBucketsRaw.replicate: a
+      // role-side mismatch would cast the join key and stack a second
+      // exchange on the numbered grid repartition
+      .select((col("block_key") +:
+        col("bucket").cast("struct<x:int,y:int>").as("bucket") +:
+        ("id" +: payload).map(col)): _*)
   }
 
   /** One row per (entry copy, co-joined task group) — exposed for the
@@ -324,9 +379,16 @@ object Blocking {
       persistLeft, persistRight)
     val outCols = col("l.id").as("id1") +: col("r.id").as("id2") +:
       payload.flatMap(p => Seq(col(s"l.$p").as(s"${p}_1"), col(s"r.$p").as(s"${p}_2")))
-    // shuffle_hash-hinted for the same reason as the self-join grid:
-    // replicated inputs defeat static size estimates (see saltedSelfJoinPairs)
-    val out = l.as("l").hint("shuffle_hash").join(r.as("r"),
+    // shuffle_hash-hinted + numbered-repartitioned on the full grid key for
+    // the same reasons as the self-join grid: replicated inputs defeat
+    // static size estimates, subset co-partitioning would re-fuse hot
+    // blocks, and AQE byte-coalescing under-partitions CPU-dense grid tasks
+    // (see saltedSelfJoinPairs). Build side = left: the delta paths pass the
+    // new/small batch on the left.
+    val n = gridPartitions(left)
+    val lp = l.repartition(n, col("block_key"), col("bucket"))
+    val rp = r.repartition(n, col("block_key"), col("bucket"))
+    val out = lp.as("l").hint("shuffle_hash").join(rp.as("r"),
         col("l.block_key") === col("r.block_key") &&
         col("l.bucket") === col("r.bucket"))
       .select(outCols: _*)
@@ -363,7 +425,10 @@ object Blocking {
       else df
     val le = persisted(left, persistLeft)
     val re = persisted(right, persistRight)
+    // nl×nr hinted too: both aggregates are distinct-block-scale (corpus-
+    // bound), and estimate-tiny lineage otherwise plans a broadcast build
     val sizes = le.groupBy("block_key").agg(count(lit(1)).as("nl"))
+      .hint("shuffle_hash")
       .join(re.groupBy("block_key").agg(count(lit(1)).as("nr")), "block_key")
       .where(if (maxBlock > 0) greatest(col("nl"), col("nr")) <= maxBlock else lit(true))
       .select(col("block_key"),
@@ -371,11 +436,21 @@ object Blocking {
         ceil(col("nr") / cap).cast("int").as("kr"))
     def replicate(e: DataFrame, kOwn: String, kOther: String,
                   bucketOf: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column) =
-      e.join(sizes, "block_key")
+      // sizes side SHUFFLE_HASH-built for the same never-broadcast-a-
+      // corpus-scale-side reason as sizedEntries (both legs of the A×B grid
+      // replicate through this join)
+      e.join(sizes.hint("shuffle_hash"), "block_key")
         .withColumn("salt", pmod(xxhash64(col("id"), lit(SaltSeed)), col(kOwn)).cast("int"))
         .withColumn("bucket", explode(transform(sequence(lit(0), col(kOther) - 1),
           other => bucketOf(col("salt"), other))))
-        .select(("block_key" +: "bucket" +: "id" +: payload).map(col): _*)
+        // canonicalize the struct's field nullability: the two roles build
+        // it from different expressions, and a nullability mismatch makes
+        // the join key cast(bucket) — which no longer matches the numbered
+        // repartition below, stacking a second (ENSURE_REQUIREMENTS)
+        // exchange on the grid's biggest shuffle
+        .select((col("block_key") +:
+          col("bucket").cast("struct<x:int,y:int>").as("bucket") +:
+          ("id" +: payload).map(col)): _*)
     val l = replicate(le, "kl", "kr", (own, other) => struct(own.as("x"), other.as("y")))
     val r = replicate(re, "kr", "kl", (own, other) => struct(other.as("x"), own.as("y")))
     val cached = (if (persistLeft) Seq(le) else Nil) ++ (if (persistRight) Seq(re) else Nil)

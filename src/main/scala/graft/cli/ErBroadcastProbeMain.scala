@@ -9,13 +9,14 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * every BroadcastExchange the executed (post-AQE) plans contain, with its
   * materialized dataSize and row count — the forensic for "which table is
   * that 176 MB broadcast". Usage:
-  *   sbt "runMain graft.cli.ErBroadcastProbeMain [pages=400000] [minMB=8]"
+  *   sbt "runMain graft.cli.ErBroadcastProbeMain [pages=400000] [minMB=8] [cores=32]"
   */
 object ErBroadcastProbeMain {
   def main(args: Array[String]): Unit = {
     val pages = args.headOption.map(_.toLong).getOrElse(400000L)
     val minMB = args.drop(1).headOption.map(_.toInt).getOrElse(8)
-    val spark = graft.core.Sessions.local(32, "er-bcast-probe")
+    val cores = args.drop(2).headOption.map(_.toInt).getOrElse(32)
+    val spark = graft.core.Sessions.local(cores, "er-bcast-probe")
     spark.sparkContext.setLogLevel("WARN")
 
     def walk(p: SparkPlan): Seq[SparkPlan] = p match {
@@ -25,15 +26,22 @@ object ErBroadcastProbeMain {
       case other =>
         other +: (other.children.flatMap(walk) ++ other.subqueries.flatMap(walk))
     }
-    // per-stage task-time forensic: where the wall-clock actually goes
+    // per-stage forensic: task-time AND wall timeline (submit→complete
+    // offsets from job start) — the GAPS between stages are driver stalls /
+    // AQE barriers, invisible to task-time alone. GC time shows heap churn.
+    val jobT0 = System.currentTimeMillis()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val info = sc.stageInfo
         val runSec = info.taskMetrics.executorRunTime / 1e3
-        if (runSec > 20)
+        val gcSec = info.taskMetrics.jvmGCTime / 1e3
+        val sub = info.submissionTime.map(t => (t - jobT0) / 1e3).getOrElse(-1.0)
+        val fin = info.completionTime.map(t => (t - jobT0) / 1e3).getOrElse(-1.0)
+        if (fin - sub > 1.0 || runSec > 20)
           println(f"[stage] ${info.stageId}%4d ${info.numTasks}%5d tasks " +
-            f"${runSec}%8.1f s-task-time  ${info.name.linesIterator.next().take(80)}")
+            f"[$sub%7.1f →$fin%7.1f wall] $runSec%7.1f s-task $gcSec%6.1f s-gc  " +
+            info.name.linesIterator.next().take(60))
       }
     })
     spark.listenerManager.register(new QueryExecutionListener {

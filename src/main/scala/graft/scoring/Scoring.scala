@@ -402,7 +402,19 @@ object Scoring {
     * wide string attributes (title/prefix/url) only for survivors (typically
     * a few % of candidates), where Jaro-Winkler + Levenshtein + the calibrated
     * score are computed. Cuts candidate-join shuffle bytes ~3-5× with
-    * provably unchanged above-threshold output. */
+    * provably unchanged above-threshold output.
+    *
+    * Enrichment join strategy is deliberately left to stats (unlike the pair
+    * grid, which pins SHUFFLE_HASH + numbered repartitions — see
+    * [[graft.blocking.Blocking.saltedSelfJoinPairs]]): in the PRODUCTION
+    * staged pipeline attrs come from parquet snapshots whose file-size stats
+    * are honest, so Catalyst/AQE broadcast the attrs side only while it
+    * genuinely fits and switch to shuffled joins at corpus scale — exactly
+    * the right per-scale behavior, chosen from measured bytes. The in-memory
+    * bench path (localCheckpoint lineage under-estimates and broadcasts a
+    * full-corpus build, measured 436 MB at 800k pages) is bench/ad-hoc only
+    * by contract (Linkage.runLight scaladoc); at bench scales that broadcast
+    * is also the measured-fastest plan, so it is not overridden here. */
   def score(
       spark: SparkSession,
       candidates: DataFrame, // id1, id2

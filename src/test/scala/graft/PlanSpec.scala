@@ -94,6 +94,42 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("pair-grid joins plan as shuffled hash joins even on estimate-tiny inputs") {
+    // Regression pin for the round-6 scale fix: the grid inputs are
+    // explode-replicated, so Catalyst's static estimate undercounts them and
+    // (un-hinted) plans a BroadcastHashJoin — measured at sf1 collapsing the
+    // whole grid onto the scan's 2 tasks, and a driver-OOM at web scale. The
+    // shuffle_hash hints must hold exactly where the estimator is most
+    // tempted: tiny inputs.
+    import org.apache.spark.sql.functions.{lit, pmod}
+    import spark.implicits._
+    val blocks = graft.blocking.Blocking.blockTable(
+      graft.fixtures.Fixture.pages(spark, 200).toDF())
+    val self = formatted(graft.blocking.Blocking.candidatePairs(blocks,
+      graft.blocking.Blocking.Config()))
+    assert(!self.contains("BroadcastHashJoin"), self.take(2000))
+    assert("ShuffledHashJoin".r.findAllIn(self).size >= 2, self.take(2000))
+    // the grid exchanges are numbered repartitions on the FULL grid key:
+    // exempt from AQE byte-coalescing (grid tasks are CPU-dense, not
+    // byte-dense) and carrying the salt split into the physical partitioning
+    // (block_key-only subset co-partitioning would re-fuse hot blocks)
+    assert(self.contains("REPARTITION_BY_NUM"), self.take(2000))
+    // a cast of bucket inside an ENSURE_REQUIREMENTS hashpartitioning means
+    // the sides' bucket nullability diverged and EnsureRequirements stacked
+    // a second exchange on the numbered one
+    val stackedExchange =
+      """hashpartitioning\([^\n]*cast\(bucket[^\n]*ENSURE_REQUIREMENTS""".r
+    assert(stackedExchange.findFirstIn(self).isEmpty, self.take(2000))
+    val le = spark.range(200).select(pmod($"id", lit(5)).as("block_key"), $"id")
+    val re = spark.range(200).select(pmod($"id", lit(5)).as("block_key"), ($"id" + 1000).as("id"))
+    val cross = formatted(
+      graft.blocking.Blocking.saltedCrossJoinPairs(le, re, cap = 64, maxBlock = 0))
+    assert(!cross.contains("BroadcastHashJoin"), cross.take(2000))
+    assert(cross.contains("ShuffledHashJoin"), cross.take(2000))
+    assert(cross.contains("REPARTITION_BY_NUM"), cross.take(2000))
+    assert(stackedExchange.findFirstIn(cross).isEmpty, cross.take(2000))
+  }
+
   test("snapshots partition by warc_day: date-filtered reads prune at the directory level") {
     import org.apache.spark.sql.functions._
     val workDir = java.nio.file.Files.createTempDirectory("graft-part").toString
