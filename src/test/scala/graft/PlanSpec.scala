@@ -128,6 +128,19 @@ class PlanSpec extends SparkSpec {
     assert(cross.contains("ShuffledHashJoin"), cross.take(2000))
     assert(cross.contains("REPARTITION_BY_NUM"), cross.take(2000))
     assert(stackedExchange.findFirstIn(cross).isEmpty, cross.take(2000))
+    // the partition count is the production scale lever: the conf override
+    // must actually reach the exchanges (a 100 TB run sets it to corpus/task
+    // sizing; silently ignoring it would re-open the wave-packing hole).
+    // The pin (19) is chosen ABOVE the test session's parallelism: Spark
+    // floors a user repartition count at defaultParallelism (observed 7 → 8
+    // at local[8]), so a below-parallelism pin wouldn't round-trip.
+    spark.conf.set("graft.blocking.gridPartitions", "19")
+    try {
+      val pinned = formatted(graft.blocking.Blocking.candidatePairs(blocks,
+        graft.blocking.Blocking.Config()))
+      assert("""hashpartitioning\([^\n]*, 19\), REPARTITION_BY_NUM""".r
+        .findFirstIn(pinned).isDefined, pinned.take(2000))
+    } finally spark.conf.unset("graft.blocking.gridPartitions")
   }
 
   test("snapshots partition by warc_day: date-filtered reads prune at the directory level") {
