@@ -21,6 +21,26 @@ class BlockingSpec extends SparkSpec {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  /** The skew guarantee must hold PHYSICALLY, not just in plan shape: a hot
+    * block's pairs have to land across multiple partitions (the round-6
+    * wave-packing fix exists because subset co-partitioning silently put
+    * every salt bucket of a hot block back into ONE partition). */
+  test("hot block's pairs physically spread across partitions") {
+    val hot = (0 until 600).map(i => ("HOT", i.toLong)) // cap=64 → k=10
+    val blocks = hot.toDF("block_key", "id")
+    // saltedSelfJoinPairs directly (not candidatePairs): the pid column must
+    // be evaluated in the GRID stage — candidatePairs' dedup exchange would
+    // re-partition by (id1, id2) before the projection and measure that
+    // stage instead (observed: AQE coalesces the tiny dedup to 1 partition)
+    val pids = Blocking.saltedSelfJoinPairs(blocks, cap = 64, maxBlock = 4096)
+      .withColumn("pid", spark_partition_id())
+      .select("pid").distinct().collect().map(_.getInt(0)).toSet
+    // k=10 → 45 cross buckets + 10 same-salt groups hashed over
+    // 8×parallelism partitions; requiring ≥ 4 is robust to hash collisions
+    // while failing outright if the block re-fuses into one partition
+    assert(pids.size >= 4, s"hot block pairs landed in only $pids")
+  }
+
   test("small blocks (n <= cap) take the k=1 fast path") {
     val blocks = Seq(("A", 1L), ("A", 2L), ("A", 3L)).toDF("block_key", "id")
     val got = Blocking.candidatePairs(blocks, Blocking.Config(cap = 64))
