@@ -24,10 +24,26 @@ object Bench {
     ((System.nanoTime() - t0) / 1e9, acc.value, assignments)
   }
 
+  /** Fixed-quantum CPU control (same protocol as the scaling CLIs): 8
+    * independent CPU-bound processes, wall seconds to finish. This VM's
+    * throughput swings ±2× across windows (BENCH.md environment note §2), so
+    * every bench line carries the substrate reading taken right before it —
+    * ~10 s = healthy window, 12–16 s = degraded; compare times ACROSS runs
+    * only after comparing their controls. Returns -1 if python3 is absent. */
+  private def cpuControl(): Double =
+    try {
+      val work = "i=0\nwhile i<120000000: i+=1"
+      val t0 = System.nanoTime()
+      val ps = (1 to 8).map(_ => new ProcessBuilder("python3", "-c", work).start())
+      ps.foreach(_.waitFor())
+      (System.nanoTime() - t0) / 1e9
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val erPages = sys.env.getOrElse("SPARK_GRAFT_ER_PAGES", "100000").toLong
+    val ctl = cpuControl()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -52,7 +68,8 @@ object Bench {
     val pps = if (erSecs > 0) (pairsScored / erSecs).round else 0L
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""sf":"$sfDir","er_pages":$erPages,"er_pairs_scored":$pairsScored,""" +
-      s""""er_pairs_per_sec":$pps,"er_clusters":$clusters,"cpus":$cpus}""")
+      s""""er_pairs_per_sec":$pps,"er_clusters":$clusters,"cpus":$cpus,""" +
+      f""""cpu_ctl_sec":$ctl%.2f}""")
     spark.stop()
   }
 }
