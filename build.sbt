@@ -27,4 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Spark whole-stage codegen emits thousands of Janino classes per session;
+  // the JDK-17 default ReservedCodeCacheSize (240 MB, segmented) fills after
+  // a handful of distinct query plans, the JIT stops compiling, and every
+  // LATER plan's generated code runs interpreted — measured 10-25x slowdowns
+  // on mid-session bench queries (q21: 82 s -> 5.2 s with this flag; one
+  // single-task stage burned 50.9 s CPU interpreting a subtree that runs in
+  // ~2 s compiled). Reserved virtual memory, committed on use — cheap at any
+  // heap size.
+  "-XX:ReservedCodeCacheSize=1g",
 ) ++ sys.env.get("SPARK_EXTRA_SYSPROPS").toSeq.flatMap(_.split(' ')).filter(_.nonEmpty)
