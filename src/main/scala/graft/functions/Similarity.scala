@@ -506,6 +506,23 @@ object Similarity {
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** First index where two long arrays hold equal values, −1 if none —
+    * allocation-free codegen kernel behind the banded-LSH first-collision
+    * rule: a pair sharing several band keys is EMITTED only from the first
+    * shared band, so the quadratic candidate stream needs no global
+    * pair-dedup shuffle afterwards (measured on q22: 92M duplicate candidate
+    * rows, a 712 MB exchange plus two 92M-row hash-aggregate passes, for
+    * 965k distinct candidates). */
+  def firstEqualIndex(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) return i
+      i += 1
+    }
+    -1
+  }
+
   // -------------------------------------------- sign-random-projection LSH
 
   /** Deterministic hyperplane component in [-1, 1): first 15 md5 hex chars

@@ -216,6 +216,34 @@ case class MultiAvgPoolExpr(child: Expression, dim: Int) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** first_equal_index(array<long>, array<long>) -> int: first index where the
+  * two arrays hold equal values, -1 if none — the banded-LSH first-collision
+  * dedup rule (emit a candidate pair only from the first shared band), fully
+  * codegen'd and allocation-free. */
+case class FirstEqualIndexExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val bad = Seq(left, right).zipWithIndex.collectFirst {
+      case (e, i) if e.dataType != ArrayType(LongType, containsNull = false) &&
+          e.dataType != ArrayType(LongType, containsNull = true) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"argument ${i + 1} of first_equal_index requires array<long>, got " +
+            e.dataType.catalogString)
+    }
+    bad.getOrElse(TypeCheckResult.TypeCheckSuccess)
+  }
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    Similarity.firstEqualIndex(
+      l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Similarity.firstEqualIndex($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** srp_bucket(array<float|double>) -> int: sign-random-projection LSH bucket
   * for embedding vectors (ANN / near-dup blocking at scale). Kernel picked by
   * element type, like [[CosineSimExpr]] — getFloat over double storage would
@@ -257,6 +285,7 @@ object GraftFunctions {
   def minhash_token_bands(c: Column, bands: Int, rows: Int, seed: Long): Column =
     col(MinHashBandsExpr(ex(c), bands, rows, seed, tokenShingles = true))
   def simhash64(c: Column, seed: Long = 0L): Column = col(SimHash64Expr(ex(c), seed))
+  def first_equal_index(l: Column, r: Column): Column = col(FirstEqualIndexExpr(ex(l), ex(r)))
   def srp_bucket(c: Column, nBits: Int, seed: Long): Column = col(SrpBucketExpr(ex(c), nBits, seed))
   def avg_pool_embed(c: Column, dim: Int): Column = col(AvgPoolExpr(ex(c), dim))
   def multi_avg_pool_embed(c: Column, dim: Int): Column = col(MultiAvgPoolExpr(ex(c), dim))

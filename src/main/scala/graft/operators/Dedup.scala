@@ -39,21 +39,42 @@ object Dedup {
       sum(col("group_size") - 1).as("n_dup_rows"))
 
   /** MinHash-LSH candidate pairs over whitespace-TOKEN shingles: rows
-    * sharing any LSH band key become a candidate (id1 < id2, deduped).
+    * sharing any LSH band key become a candidate (id1 < id2, emitted once).
     * Token shingles (not char 3-grams) because the verifier
     * ([[minhashNearDup]]) computes distinct-token-set Jaccard — the LSH
     * collision probability is then a function of exactly the verified J.
     * Defaults (b=32, r=4) are the high-recall operating point:
     * P(miss | J = 0.9) = (1 − 0.9⁴)³² ≈ 1.4e−15; false candidates cost one
-    * cheap Jaccard check each. */
+    * cheap Jaccard check each.
+    *
+    * FIRST-COLLISION emission (guide §2.3 "do fewer shuffles" applied to the
+    * candidate stream): a near-dup-heavy corpus collides similar pairs in
+    * MANY of the b bands at once — measured at sf0.1, 92.2M raw grid pair
+    * rows for 965k distinct candidates (a 712 MB exchange plus two 92M-row
+    * hash-aggregate dedup passes, ~10× the whole query's useful work). Each
+    * side therefore carries its full band signature through the grid join
+    * and a pair is emitted ONLY from the first band where the signatures
+    * agree (`first_equal_index(bands₁, bands₂) == this band`): the same
+    * candidate SET, each pair exactly once, no global pair-dedup shuffle.
+    * (A pair co-occurring only through a cross-band 64-bit hash collision —
+    * different band positions hashing to one key — is no longer emitted;
+    * such pairs were never part of the same-band LSH recall guarantee and
+    * arise with probability ~b²/2⁶⁴ per pair.) */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         bands: Int = 32, rows: Int = 4, seed: Long = 42L,
                         cap: Int = 256, maxBlock: Int = 0): DataFrame = {
     val entries = df.select(col(idCol).as("id"),
-      explode(GraftFunctions.minhash_token_bands(lower(col(textCol)), bands, rows, seed))
-        .as("block_key"))
-    Blocking.saltedSelfJoinPairs(entries, cap, maxBlock)
-      .dropDuplicates("id1", "id2")
+        GraftFunctions.minhash_token_bands(lower(col(textCol)), bands, rows, seed)
+          .as("bands"))
+      .select(col("id"), col("bands"),
+        posexplode(col("bands")).as(Seq("band_idx", "block_key")))
+      .select("block_key", "id", "bands", "band_idx")
+    Blocking.saltedSelfJoinPairs(entries, cap, maxBlock,
+        payload = Seq("bands", "band_idx"))
+      .where(col("band_idx_1") === col("band_idx_2") &&
+        GraftFunctions.first_equal_index(col("bands_1"), col("bands_2")) ===
+          col("band_idx_1"))
+      .select("id1", "id2")
   }
 
   /** MinHash near-duplicates = LSH candidates verified by exact token-set
@@ -62,11 +83,24 @@ object Dedup {
   def minhashNearDup(df: DataFrame, idCol: String, textCol: String, tau: Double,
                      bands: Int = 32, rows: Int = 4, seed: Long = 42L,
                      cap: Int = 256, maxBlock: Int = 0): DataFrame = {
+    // one explicit exchange on id1 between the grid and the verify joins:
+    // the old pair-dedup shuffle used to play this role — without it the
+    // candidate subtree (the expensive grid join) is inlined into BOTH
+    // verify joins' builds and executes twice (measured: 2 × ~115 s CPU of
+    // identical grid work at sf0.1). The exchange carries only the slim
+    // (id1, id2) stream and is what the first sort-merge join needs anyway.
     val cands = minhashCandidates(df, idCol, textCol, bands, rows, seed, cap, maxBlock)
+      .repartition(col("id1"))
     val grams = df.select(col(idCol).as("id"), tokenNgrams(col(textCol), 1).as("g"))
+    val sz1 = size(col("g1")).cast("double")
+    val sz2 = size(col("g2")).cast("double")
     cands
       .join(grams.select(col("id").as("id1"), col("g").as("g1")), "id1")
       .join(grams.select(col("id").as("id2"), col("g").as("g2")), "id2")
+      // exact-safe size-ratio prune (J ≥ τ ⇒ |A|/|B| ∈ [τ, 1/τ], same guard
+      // as ngramJaccardPairs): kills most false candidates before the
+      // per-pair set intersection, the verify stage's dominant cost
+      .where(least(sz1, sz2) >= greatest(sz1, sz2) * tau)
       .select(col("id1"), col("id2"), jaccard(col("g1"), col("g2")).as("jaccard"))
       .where(col("jaccard") >= tau)
   }
@@ -120,7 +154,16 @@ object Dedup {
     * bands; by pigeonhole any pair within hamming ≤ chunks−1 shares at least
     * one band, so banding + exact hamming filter is EXACT (not approximate)
     * for maxHamming ≤ chunks−1. Band buckets are salted like every other
-    * pair join. */
+    * pair join.
+    *
+    * FIRST-COLLISION emission (the [[minhashCandidates]] rule, here in pure
+    * bit math): near-identical fingerprints agree on SEVERAL chunks, so the
+    * grid emits each such pair once per agreeing chunk and the old global
+    * dropDuplicates shuffled the whole quadratic candidate stream just to
+    * collapse them. The chunk index rides the grid as payload, both sides'
+    * chunk values are recomputed from fp₁ xor fp₂ in-join, and the pair is
+    * kept only where its chunk is the FIRST agreeing one — same pair set,
+    * exactly one emission, no pair-dedup exchange at all. */
   def hammingNearDup(fps: DataFrame, bits: Int, chunks: Int, maxHamming: Int,
                      cap: Int = 256, maxBlock: Int = 0): DataFrame = {
     require(maxHamming <= chunks - 1,
@@ -132,10 +175,16 @@ object Dedup {
         struct(lit(i).as("c"),
           shiftright(col("fp"), i * width).bitwiseAND(lit(mask)).as("v"))): _*))
         .as("block_key"))
-      .select("block_key", "id", "fp")
-    Blocking.saltedSelfJoinPairs(entries, cap, maxBlock, payload = Seq("fp"))
-      .dropDuplicates("id1", "id2")
-      .withColumn("hamming", bit_count(col("fp_1").bitwiseXOR(col("fp_2"))))
+      .select(col("block_key"), col("id"), col("fp"), col("block_key.c").as("c"))
+    val xorv = col("fp_1").bitwiseXOR(col("fp_2"))
+    def chunkEq(i: Int) =
+      shiftright(xorv, i * width).bitwiseAND(lit(mask)) === 0
+    val firstEq = (0 until chunks).foldRight(lit(-1)) { (i, acc) =>
+      when(chunkEq(i), lit(i)).otherwise(acc)
+    }
+    Blocking.saltedSelfJoinPairs(entries, cap, maxBlock, payload = Seq("fp", "c"))
+      .where(firstEq === col("c_1"))
+      .withColumn("hamming", bit_count(xorv))
       .where(col("hamming") <= maxHamming)
       .select("id1", "id2", "hamming")
   }
