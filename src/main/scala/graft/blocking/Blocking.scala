@@ -198,7 +198,8 @@ object Blocking {
     */
   def saltedSelfJoinPairs(entries: DataFrame, cap: Int, maxBlock: Int,
                           payload: Seq[String] = Nil,
-                          persistEntries: Boolean = true): DataFrame = {
+                          persistEntries: Boolean = true,
+                          gridRows: Option[Long] = None): DataFrame = {
     // entries feed multiple consumers (block sizes + join sides); without
     // materialization the upstream key computation (minhash bands, simhash
     // aggregation, gram arrays) re-executes per consumer. The cache lives
@@ -251,7 +252,7 @@ object Blocking {
     // idle behind the last wave; 2× wall at local[8]). A numbered
     // repartition is exempt from AQE coalescing and replaces — not adds to —
     // the exchange the join needs anyway.
-    val n = gridPartitions(entries)
+    val n = gridPartitions(entries, gridRows)
     val lRole = roleEntries(sized, left = true, payload)
       .repartition(n, col("block_key"), col("bucket"))
     val rRole = roleEntries(sized, left = false, payload)
@@ -272,21 +273,41 @@ object Blocking {
     out
   }
 
+  /** Measured-optimal grid rows per task: the round-6 protocol A/Bs read the
+    * 1M-page ER grid (~17M block entries) fastest at 512 partitions ≈ 33k
+    * entry rows per task, and probes at 64–512 partitions across 100k–2M
+    * pages sat at or near that operating point. Used as the data-derived
+    * FLOOR below. */
+  private[graft] val TargetGridRowsPerPartition = 32768L
+
   /** Partition count for the pair-grid joins (and hence the scoring stage
     * fused behind them). Grid tasks are CPU-bound — up to ~cap² candidate
     * pairs per (block_key, bucket) cell — so their count must track CORES ×
     * WAVES, not shuffle bytes: byte-based sizing (AQE coalescing, or
     * shuffle.partitions tuned for IO-bound stages) under-partitions them by
     * an order of magnitude. Default 8 waves over the scheduler's parallelism
-    * keeps the tail of an uneven last wave under ~1/8 of the stage; override
-    * with `graft.blocking.gridPartitions` when corpus/core ratio is extreme
-    * (the per-partition SHJ build must fit executor memory, so at fixed
-    * cores partitions ultimately scale with data — same contract as
-    * shuffle.partitions). */
-  private def gridPartitions(df: DataFrame): Int = {
+    * keeps the tail of an uneven last wave under ~1/8 of the stage.
+    *
+    * When the caller KNOWS the entry-row count (`gridRows` — the staged
+    * pipeline reads it from the blocks-stage manifest for free), the count is
+    * FLOORED at rows / [[TargetGridRowsPerPartition]]: at fixed cores and
+    * 100× the corpus the per-partition SHJ hash builds otherwise grow
+    * linearly with data until they stress executor memory (the one scale
+    * assumption an operator previously had to hand-fix via conf). Catalyst
+    * size ESTIMATES are deliberately not consulted: measured on the actual
+    * grid inputs they report ~8 B/row for localCheckpoint lineage (309 KB
+    * for a 40 MB block table) — garbage in, garbage partitioning out.
+    * `graft.blocking.gridPartitions` still overrides everything. */
+  private def gridPartitions(df: DataFrame, gridRows: Option[Long] = None): Int = {
     val spark = df.sparkSession
     spark.conf.getOption("graft.blocking.gridPartitions").map(_.toInt)
-      .getOrElse(spark.sparkContext.defaultParallelism * 8)
+      .getOrElse {
+        val waves = spark.sparkContext.defaultParallelism * 8
+        val derived = gridRows
+          .map(r => math.min(r / TargetGridRowsPerPartition, 1 << 24).toInt)
+          .getOrElse(0)
+        math.max(waves, derived)
+      }
   }
 
   /** Entries of multi-row blocks with their salt: (block_key, k, salt, id,
@@ -374,7 +395,8 @@ object Blocking {
   def saltedCrossJoinPairs(left: DataFrame, right: DataFrame, cap: Int, maxBlock: Int,
                            payload: Seq[String] = Nil,
                            persistLeft: Boolean = true,
-                           persistRight: Boolean = true): DataFrame = {
+                           persistRight: Boolean = true,
+                           gridRows: Option[Long] = None): DataFrame = {
     val (l, r, release) = crossBucketsRaw(left, right, cap, maxBlock, payload,
       persistLeft, persistRight)
     val outCols = col("l.id").as("id1") +: col("r.id").as("id2") +:
@@ -385,7 +407,7 @@ object Blocking {
     // blocks, and AQE byte-coalescing under-partitions CPU-dense grid tasks
     // (see saltedSelfJoinPairs). Build side = left: the delta paths pass the
     // new/small batch on the left.
-    val n = gridPartitions(left)
+    val n = gridPartitions(left, gridRows)
     val lp = l.repartition(n, col("block_key"), col("bucket"))
     val rp = r.repartition(n, col("block_key"), col("bucket"))
     val out = lp.as("l").hint("shuffle_hash").join(rp.as("r"),
@@ -534,31 +556,58 @@ object Blocking {
     * (newL / oldL / newR), so gating inside the grid join would let a block
     * whose accumulated size is over the cap — dropped entirely by the
     * one-shot join — keep emitting oldL×newR / newL×accumR pairs every
-    * batch. Over-cap keys are pruned from every leg input up front (one
-    * partial-aggregating groupBy per accumulated side — the same shuffle
-    * shape the grid join's own size tables use), and the inner gate is
-    * disabled: a leg-input block is always ≤ its accumulated block, so after
-    * the prefilter the inner gate could never fire. */
+    * batch. Over-cap keys are pruned from every leg input up front (from the
+    * caller's incrementally-maintained per-side size tables when supplied —
+    * [[mergedBlockSizes]] — else one partial-aggregating groupBy per
+    * accumulated side), and the inner gate is disabled: a leg-input block is
+    * always ≤ its accumulated block, so after the prefilter the inner gate
+    * could never fire. */
+  /** Block-size table of a block-entry frame: (block_key, n) — the shape the
+    * two-table over-cap gate consumes, and the shape a caller maintains
+    * INCREMENTALLY across scheduled batches via [[mergedBlockSizes]] so the
+    * gate stops re-aggregating the full accumulated tables per batch. */
+  def blockSizes(entries: DataFrame): DataFrame =
+    entries.groupBy("block_key").agg(count(lit(1)).as("n"))
+
+  /** Incrementally maintained block sizes: previous accumulated sizes plus
+    * this batch's entry counts (outer sum — keys new this batch appear, keys
+    * untouched keep their old count). `prevSizes` is tiny relative to the
+    * accumulated ENTRY table (one row per distinct block), so maintaining it
+    * per batch costs a delta-sized aggregate + a sizes-sized merge instead
+    * of a full accumulated-table scan. Exactly equal to
+    * [[blockSizes]](accumulated ∪ batch) — pinned by TwoTableSpec. */
+  def mergedBlockSizes(prevSizes: DataFrame, batchEntries: DataFrame): DataFrame =
+    prevSizes.unionByName(blockSizes(batchEntries))
+      .groupBy("block_key").agg(sum(col("n")).as("n"))
+
   def deltaPairsTwoTable(accumLeft: DataFrame, accumRight: DataFrame,
                          newIdsLeft: DataFrame, newIdsRight: DataFrame,
-                         cfg: Config = Config()): DataFrame = {
+                         cfg: Config = Config(),
+                         sizesLeft: Option[DataFrame] = None,
+                         sizesRight: Option[DataFrame] = None): DataFrame = {
     val nl = newIdsLeft.select("id").distinct()
     val nr = newIdsRight.select("id").distinct()
     // over-cap block keys at the ACCUMULATED sizes (either side) — a small
     // heavy-hitter set (≤ accumulated rows / maxBlock keys), anti-joined away
-    // from every leg input. PERSISTED for the call's duration: the gate
-    // subtree is embedded in all four leg inputs across two separately
-    // planned joins, and cross-plan exchange reuse is not guaranteed — an
-    // unpersisted gate could re-aggregate both full accumulated tables up to
-    // 4× per batch. It is a frame this function DERIVES (not caller-supplied),
-    // so the persist cannot clobber a caller's cache; released by the same
-    // consumer-scoped listener the salted-join entry caches use.
+    // from every leg input. When the caller maintains per-side size tables
+    // across batches ([[mergedBlockSizes]] — the round-6 VERDICT efficiency
+    // ask: at the 100-TB north star two full accumulated groupBy passes per
+    // scheduled batch dominate a small delta), the gate reads THOSE instead
+    // of re-aggregating the accumulated entry tables. PERSISTED for the
+    // call's duration: the gate subtree is embedded in all four leg inputs
+    // across two separately planned joins, and cross-plan exchange reuse is
+    // not guaranteed — an unpersisted gate could re-aggregate its input up
+    // to 4× per batch. It is a frame this function DERIVES (not
+    // caller-supplied), so the persist cannot clobber a caller's cache;
+    // released by the same consumer-scoped listener the salted-join entry
+    // caches use.
     val (gate, overCapCache) =
       if (cfg.maxBlock > 0) {
-        def over(accum: DataFrame) = accum.groupBy("block_key")
-          .agg(count(lit(1)).as("n")).where(col("n") > cfg.maxBlock)
-          .select("block_key")
-        val overCap = over(accumLeft).unionByName(over(accumRight)).distinct()
+        def over(accum: DataFrame, sizes: Option[DataFrame]) =
+          sizes.getOrElse(blockSizes(accum))
+            .where(col("n") > cfg.maxBlock).select("block_key")
+        val overCap = over(accumLeft, sizesLeft)
+          .unionByName(over(accumRight, sizesRight)).distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         ((e: DataFrame) => e.join(overCap, Seq("block_key"), "left_anti"),
           Some(overCap))
@@ -580,10 +629,14 @@ object Blocking {
   /** ER candidate pairs: the salted self-join over the MinHash+domain block
     * table, globally deduped (a pair found by several keys is emitted once —
     * SURVEY §4.3.2: plain dropDuplicates wins). */
-  def candidatePairs(blocks: DataFrame, cfg: Config = Config()): DataFrame =
+  def candidatePairs(blocks: DataFrame, cfg: Config = Config(),
+                     gridRows: Option[Long] = None): DataFrame =
     // the pipeline checkpoints its block table before calling (it is consumed
-    // by blockStats too) — no second materialization here
-    saltedSelfJoinPairs(blocks, cfg.cap, cfg.maxBlock, persistEntries = false)
+    // by blockStats too) — no second materialization here. gridRows: the
+    // staged pipeline passes the blocks manifest's row counter so the grid
+    // partition floor tracks data at fixed cores (zero extra scans).
+    saltedSelfJoinPairs(blocks, cfg.cap, cfg.maxBlock, persistEntries = false,
+        gridRows = gridRows)
       .dropDuplicates("id1", "id2")
 
   /** Lineage metrics for the block stage: blocks built, size distribution,

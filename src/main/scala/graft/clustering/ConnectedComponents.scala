@@ -17,7 +17,14 @@ object ConnectedComponents {
   /** assignments: (node, root) — root is the component minimum. */
   case class Result(assignments: DataFrame, iterations: Int, mergesApplied: Long)
 
-  /** Edges after each phase are kept canonical: (node, root) with root < node. */
+  /** Edges after each phase are kept canonical: (node, root) with root < node.
+    * NOT deduped here: [[smallStar]]'s min-aggregation is duplicate-blind and
+    * its own final distinct canonicalizes the iteration's output, so a
+    * distinct at this seam was one full exchange + hash aggregate per
+    * iteration spent collapsing rows the next operator collapses anyway
+    * (duplicates entering smallStar at most double its input — bounded by
+    * parallel (node, root) derivations, and partial map-side aggregation
+    * absorbs them before they shuffle). */
   private def largeStar(e: DataFrame): DataFrame = {
     val sym = e.select(col("node").as("u"), col("root").as("v"))
       .unionByName(e.select(col("root").as("u"), col("node").as("v")))
@@ -27,7 +34,6 @@ object ConnectedComponents {
       .where(col("v") > col("u"))
       .select(col("v").as("node"), col("mu").as("root"))
       .where(col("node") =!= col("root"))
-      .distinct()
   }
 
   private def smallStar(e: DataFrame): DataFrame = {

@@ -346,11 +346,18 @@ object Linkage {
     // the expensive stage: A×B salted grid join (never a cartesian);
     // abandoned_releases counter as in run() (ask #7)
     val abandoned0 = Blocking.abandonedReleases.get()
+    // grid floor from the per-side blocks manifests (both legs replicate
+    // through the same grid exchanges, so size by their sum)
+    val gridRows = for {
+      nl <- counters.get("blocks_l.rows").filter(_ > 0)
+      nr <- counters.get("blocks_r.rows").filter(_ > 0)
+    } yield nl + nr
     val pairs = track("pairs", store.stage("pairs", fpData,
       countersFromWritten = _ =>
         Map("abandoned_releases" -> (Blocking.abandonedReleases.get() - abandoned0))) {
       Blocking.saltedCrossJoinPairs(blocksL, blocksR,
-          cfg.blocking.cap, cfg.blocking.maxBlock, persistLeft = false, persistRight = false)
+          cfg.blocking.cap, cfg.blocking.maxBlock, persistLeft = false,
+          persistRight = false, gridRows = gridRows)
         .dropDuplicates("id1", "id2")
     })
 
@@ -435,7 +442,12 @@ object Linkage {
     val pairs = track("pairs", store.stage("pairs", fpData,
       countersFromWritten = _ =>
         Map("abandoned_releases" -> (Blocking.abandonedReleases.get() - abandoned0))) {
-      Blocking.candidatePairs(blocks, cfg.blocking)
+      // grid partition floor from the blocks manifest row counter (free —
+      // recorded at snapshot write, read back on resume): at fixed cores the
+      // grid task count now tracks corpus size instead of relying on the
+      // operator remembering the gridPartitions conf at extreme scale
+      Blocking.candidatePairs(blocks, cfg.blocking,
+        gridRows = counters.get("blocks.rows").filter(_ > 0))
     })
 
     // stage 2b: fused pairwise scoring (whole-stage codegen expressions)

@@ -83,9 +83,16 @@ object Streams {
                            leftAttrs: Dataset[graft.core.ScoreAttrs],
                            rightAttrs: Dataset[graft.core.ScoreAttrs],
                            w: graft.scoring.Scoring.Weights = graft.scoring.Scoring.Weights(),
-                           cfg: graft.blocking.Blocking.Config = graft.blocking.Blocking.Config()): DataFrame = {
+                           cfg: graft.blocking.Blocking.Config = graft.blocking.Blocking.Config(),
+                           sizesLeft: Option[DataFrame] = None,
+                           sizesRight: Option[DataFrame] = None): DataFrame = {
+    // sizesLeft/sizesRight: incrementally-maintained per-side block-size
+    // tables (Blocking.mergedBlockSizes, snapshot-carried in deployment) —
+    // lets the over-cap gate skip re-aggregating the accumulated block
+    // tables every scheduled batch
     val pairs = graft.blocking.Blocking.deltaPairsTwoTable(
-      accumLeftBlocks, accumRightBlocks, newIdsLeft, newIdsRight, cfg)
+      accumLeftBlocks, accumRightBlocks, newIdsLeft, newIdsRight, cfg,
+      sizesLeft = sizesLeft, sizesRight = sizesRight)
     graft.scoring.Scoring.scoreTwoTable(spark, pairs, leftAttrs, rightAttrs, w)
       .toDF().where(col("score") >= w.threshold)
   }

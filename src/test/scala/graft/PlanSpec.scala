@@ -141,6 +141,16 @@ class PlanSpec extends SparkSpec {
       assert("""hashpartitioning\([^\n]*, 19\), REPARTITION_BY_NUM""".r
         .findFirstIn(pinned).isDefined, pinned.take(2000))
     } finally spark.conf.unset("graft.blocking.gridPartitions")
+    // data-derived floor: a caller-known entry-row count (the staged
+    // pipeline's blocks manifest counter) floors the grid partition count at
+    // rows / TargetGridRowsPerPartition, so at fixed cores the per-partition
+    // SHJ builds stay bounded as the corpus grows — without the operator
+    // remembering a conf. 1000 here = 32768 * 1000 rows claimed.
+    val derived = formatted(graft.blocking.Blocking.candidatePairs(blocks,
+      graft.blocking.Blocking.Config(),
+      gridRows = Some(graft.blocking.Blocking.TargetGridRowsPerPartition * 1000)))
+    assert("""hashpartitioning\([^\n]*, 1000\), REPARTITION_BY_NUM""".r
+      .findFirstIn(derived).isDefined, derived.take(2000))
   }
 
   test("snapshots partition by warc_day: date-filtered reads prune at the directory level") {

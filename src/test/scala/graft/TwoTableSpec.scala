@@ -224,6 +224,46 @@ class TwoTableSpec extends SparkSpec {
     assert(oneShot.count() == 3L * 2)
   }
 
+  test("incrementally maintained block sizes drive the over-cap gate exactly") {
+    import spark.implicits._
+    val cfg = Blocking.Config(cap = 4, maxBlock = 8)
+    def entries(ids: Seq[Long], key: Long) =
+      ids.toDF("id").select(lit(key).as("block_key"), $"id")
+    // same scenario as the accumulated-gate test: block 7 crosses maxBlock
+    // at batch 2, block 9 stays small
+    val leftB1 = entries(0L until 5L, 7).unionByName(entries(100L to 102L, 9))
+    val right = entries(200L until 205L, 7).unionByName(entries(300L to 301L, 9))
+    val leftAdd = entries(5L until 10L, 7)
+    val leftB2 = leftB1.unionByName(leftAdd)
+    val noNew = spark.range(0).select($"id")
+    // per-side size tables maintained incrementally: batch-1 sizes from the
+    // batch itself, batch-2 sizes = batch-1 sizes + the delta's counts —
+    // the accumulated entry tables are never re-aggregated
+    val sizesL1 = Blocking.blockSizes(leftB1).localCheckpoint()
+    val sizesR = Blocking.blockSizes(right).localCheckpoint()
+    val sizesL2 = Blocking.mergedBlockSizes(sizesL1, leftAdd).localCheckpoint()
+    // merged sizes ≡ a fresh aggregate over the full accumulated table
+    val fresh = Blocking.blockSizes(leftB2)
+    assert(sizesL2.exceptAll(fresh).count() == 0 && fresh.exceptAll(sizesL2).count() == 0)
+    val d1 = Blocking.deltaPairsTwoTable(leftB1, right,
+      leftB1.select("id"), right.select("id"), cfg,
+      sizesLeft = Some(sizesL1), sizesRight = Some(sizesR))
+    assert(d1.count() == 5L * 5 + 3L * 2)
+    val d2 = Blocking.deltaPairsTwoTable(leftB2, right, leftAdd.select("id"), noNew, cfg,
+      sizesLeft = Some(sizesL2), sizesRight = Some(sizesR))
+    assert(d2.count() == 0L,
+      "over-cap block leaked pairs under the incrementally maintained size gate")
+    // and the gate subtree really reads the size tables, not the accumulated
+    // entries: the over-cap filter's plan contains no aggregate over leftB2
+    val plan = Blocking.deltaPairsTwoTable(leftB2, right, leftAdd.select("id"), noNew,
+      cfg, sizesLeft = Some(sizesL2), sizesRight = Some(sizesR))
+      .queryExecution.optimizedPlan.toString
+    // (the grid join's own per-key size aggregates alias nl/nr; the gate's
+    // fresh aggregate would alias n — its absence proves the gate read the
+    // supplied size tables)
+    assert(!plan.contains("count(1) AS n#"), plan.take(2000))
+  }
+
   test("planted hot block: cross-join grid bounds tasks, exactly-once coverage") {
     val cap = 64
     val nl = 500L
