@@ -564,6 +564,52 @@ object Similarity {
     -1
   }
 
+  // -------------------------------------------------- n-gram repetition
+
+  /** Per-document token n-gram repetition stats in ONE row-local pass —
+    * (total n-grams, max single n-gram count, mass of n-grams occurring
+    * more than once) over single-space tokens of the LOWERCASED text,
+    * exactly the Gopher-style groupBy-per-(doc, gram) aggregation result.
+    * These are per-DOCUMENT statistics: shipping every gram through two
+    * corpus shuffles plus a join (the old shape) moved ~40 bytes per gram
+    * across the cluster to compute numbers derivable where the row already
+    * is. Because tokens are joined by the same single space they were split
+    * on, every n-gram string is a SUBSTRING span of the lowered text — no
+    * per-gram concatenation. */
+  def ngramRepStats(raw: UTF8String, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = raw.toLowerCase.toString
+    // token boundaries under split-on-' ' with empties preserved
+    val starts = new scala.collection.mutable.ArrayBuffer[Int](64)
+    starts += 0
+    var i = 0
+    while (i < s.length) { if (s.charAt(i) == ' ') starts += (i + 1); i += 1 }
+    val m = starts.length // token count
+    val total = math.max(m - n + 1, 0)
+    if (total == 0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0L, 0L, 0L))
+    val counts = new java.util.HashMap[String, Integer](total * 2)
+    var g = 0
+    while (g < total) {
+      val from = starts(g)
+      val to = if (g + n < m) starts(g + n) - 1 else s.length
+      val gram = s.substring(from, to)
+      val prev = counts.get(gram)
+      counts.put(gram, if (prev == null) 1 else prev + 1)
+      g += 1
+    }
+    var maxC = 0L
+    var dupMass = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().toLong
+      if (c > maxC) maxC = c
+      if (c > 1) dupMass += c
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](total.toLong, maxC, dupMass))
+  }
+
   // -------------------------------------------- sign-random-projection LSH
 
   /** Deterministic hyperplane component in [-1, 1): first 15 md5 hex chars

@@ -216,6 +216,30 @@ case class MultiAvgPoolExpr(child: Expression, dim: Int) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** ngram_rep_stats(string, n) -> struct<total, max_c, dup_mass>: per-row
+  * token n-gram repetition statistics (the Gopher-style quality signals) in
+  * one pass over the lowered text — replaces an explode + per-(doc, gram)
+  * groupBy + per-doc groupBy + join pipeline (two corpus shuffles of gram
+  * strings) with a shuffle-free projection: the stats are per-DOCUMENT, so
+  * nothing about them needs to leave the row. */
+case class NgramRepStatsExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "ngram_rep_stats needs n >= 1")
+  override def dataType: DataType = StructType(Seq(
+    StructField("total", LongType, nullable = false),
+    StructField("max_c", LongType, nullable = false),
+    StructField("dup_mass", LongType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ngram_rep_stats requires string, got ${child.dataType.catalogString}")
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    Similarity.ngramRepStats(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Similarity.ngramRepStats($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** first_equal_index(array<long>, array<long>) -> int: first index where the
   * two arrays hold equal values, -1 if none — the banded-LSH first-collision
   * dedup rule (emit a candidate pair only from the first shared band), fully
@@ -286,6 +310,7 @@ object GraftFunctions {
     col(MinHashBandsExpr(ex(c), bands, rows, seed, tokenShingles = true))
   def simhash64(c: Column, seed: Long = 0L): Column = col(SimHash64Expr(ex(c), seed))
   def first_equal_index(l: Column, r: Column): Column = col(FirstEqualIndexExpr(ex(l), ex(r)))
+  def ngram_rep_stats(c: Column, n: Int): Column = col(NgramRepStatsExpr(ex(c), n))
   def srp_bucket(c: Column, nBits: Int, seed: Long): Column = col(SrpBucketExpr(ex(c), nBits, seed))
   def avg_pool_embed(c: Column, dim: Int): Column = col(AvgPoolExpr(ex(c), dim))
   def multi_avg_pool_embed(c: Column, dim: Int): Column = col(MultiAvgPoolExpr(ex(c), dim))

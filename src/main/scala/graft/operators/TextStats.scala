@@ -76,30 +76,28 @@ object TextStats {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(split(lower(text), "\\s+")))))
 
-  /** Token n-grams joined by a single space (repetition analysis unit). */
-  private def spacedNgrams(text: Column, n: Int): Column = {
-    val toks = split(lower(text), " ")
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
-
   /** Gopher-style repetition quality signals (Rae et al. 2021 §A1.1, public):
     * the mass of the single most frequent bigram and the mass of trigrams
-    * occurring more than once — high values mark boilerplate/spam. One
-    * explode + partial-aggregating groupBy per gram width; no windows. */
+    * occurring more than once — high values mark boilerplate/spam.
+    *
+    * SHUFFLE-FREE (guide §2.4 "remove shuffles outright"): these are
+    * per-DOCUMENT statistics, so the old explode → groupBy(doc, gram) →
+    * groupBy(doc) → join pipeline shipped every gram string through two
+    * corpus shuffles to compute numbers derivable where the row already is.
+    * One codegen kernel pass per gram width now computes (total, max count,
+    * duplicate mass) row-locally; the output row set is identical — docs
+    * with fewer than 3 tokens have no trigram row and drop out of the old
+    * inner join, reproduced by the filter below. */
   def repetitionStats(df: org.apache.spark.sql.DataFrame,
                       idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
-    def gramMass(n: Int, top: Boolean, out: String) = {
-      val counts = df
-        .select(col(idCol).as("id"), explode(spacedNgrams(col(textCol), n)).as("g"))
-        .groupBy("id", "g").agg(count(lit(1)).as("c"))
-      val massNum = if (top) max(col("c")) else sum(when(col("c") > 1, col("c")).otherwise(0L))
-      counts.groupBy("id").agg(
-        sum(col("c")).as(s"n_${n}grams"),
-        (massNum.cast("double") / sum(col("c"))).as(out))
-    }
-    gramMass(2, top = true, "top_bigram_frac")
-      .join(gramMass(3, top = false, "dup_trigram_frac").drop("n_3grams"), "id")
+    import graft.functions.GraftFunctions.ngram_rep_stats
+    df.select(col(idCol).as("id"),
+        ngram_rep_stats(col(textCol), 2).as("b"),
+        ngram_rep_stats(col(textCol), 3).as("t"))
+      .where(col("b.total") > 0 && col("t.total") > 0)
+      .select(col("id"),
+        col("b.total").as("n_2grams"),
+        (col("b.max_c").cast("double") / col("b.total")).as("top_bigram_frac"),
+        (col("t.dup_mass").cast("double") / col("t.total")).as("dup_trigram_frac"))
   }
 }
