@@ -12,6 +12,21 @@ object PairsProbeMain {
     val cores = args.headOption.map(_.toInt).getOrElse(32)
     val nPages = args.drop(1).headOption.map(_.toLong).getOrElse(100000L)
     val spark = graft.core.Sessions.local(cores, "graft-pairsprobe")
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          ev: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = ev.stageInfo
+        val m = si.taskMetrics
+        val wall = (for (s <- si.submissionTime; c <- si.completionTime) yield c - s).getOrElse(-1L)
+        stages.add(f"[stage] id=${si.stageId}%-4d tasks=${si.numTasks}%-4d " +
+          f"wall=${wall / 1e3}%7.2fs run=${m.executorRunTime / 1e3}%8.2fs " +
+          f"cpu=${m.executorCpuTime / 1e9}%8.2fs gc=${m.jvmGCTime / 1e3}%6.2fs " +
+          f"shR=${m.shuffleReadMetrics.totalBytesRead / 1e6}%8.1fMB/${m.shuffleReadMetrics.recordsRead}%,d " +
+          f"shW=${m.shuffleWriteMetrics.bytesWritten / 1e6}%8.1fMB/${m.shuffleWriteMetrics.recordsWritten}%,d")
+      }
+    })
+    sys.addShutdownHook(stages.forEach(s => println(s)))
     val pages = graft.fixtures.Fixture.pages(spark, nPages).toDF().localCheckpoint()
     val pre = graft.scoring.Scoring.projected(pages).localCheckpoint()
     val cfg = graft.blocking.Blocking.Config()

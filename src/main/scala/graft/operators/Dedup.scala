@@ -26,6 +26,22 @@ import graft.functions.GraftFunctions
   */
 object Dedup {
 
+  /** Spread a SMALL input before an expensive per-row expansion (minhash
+    * signatures, gram arrays, shingles): a sub-parallelism source — e.g. one
+    * small parquet file, which Spark's split packing reads as a single task
+    * — otherwise runs the whole expansion on one core before the first
+    * exchange (measured: 2.2 s single-task stages on a 5k-doc corpus at 32
+    * cores). Rows are repartitioned RAW (pre-expansion, when they are
+    * cheapest to move); at real corpus sizes the scan has at least as many
+    * partitions as the scheduler has slots and this is the identity.
+    * Streaming frames pass through untouched (.rdd is illegal on them; the
+    * micro-batch planner sizes those scans itself). */
+  private[operators] def spread(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Exact duplicate groups: every row mapped to its group representative
     * (min id), plus the group size. One hash-partitioned aggregation. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -60,9 +76,10 @@ object Dedup {
     * different band positions hashing to one key — is no longer emitted;
     * such pairs were never part of the same-band LSH recall guarantee and
     * arise with probability ~b²/2⁶⁴ per pair.) */
-  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+  def minhashCandidates(df0: DataFrame, idCol: String, textCol: String,
                         bands: Int = 32, rows: Int = 4, seed: Long = 42L,
                         cap: Int = 256, maxBlock: Int = 0): DataFrame = {
+    val df = spread(df0)
     val entries = df.select(col(idCol).as("id"),
         GraftFunctions.minhash_token_bands(lower(col(textCol)), bands, rows, seed)
           .as("bands"))
@@ -91,7 +108,7 @@ object Dedup {
     // (id1, id2) stream and is what the first sort-merge join needs anyway.
     val cands = minhashCandidates(df, idCol, textCol, bands, rows, seed, cap, maxBlock)
       .repartition(col("id1"))
-    val grams = df.select(col(idCol).as("id"), tokenNgrams(col(textCol), 1).as("g"))
+    val grams = spread(df).select(col(idCol).as("id"), tokenNgrams(col(textCol), 1).as("g"))
     val sz1 = size(col("g1")).cast("double")
     val sz2 = size(col("g2")).cast("double")
     cands
@@ -129,9 +146,10 @@ object Dedup {
     * an `(en, web)`-sized hot block is triangle-split across tasks). The
     * size-ratio prefilter (J ≥ τ ⇒ |A|/|B| ∈ [τ, 1/τ]) prunes pairs before
     * the array intersect without changing the result. */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+  def ngramJaccardPairs(df0: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[String], n: Int, tau: Double,
                         cap: Int = 256, maxBlock: Int = 0): DataFrame = {
+    val df = spread(df0)
     // empty blockCols = the unblocked (all-pairs) mode: one constant block —
     // still salted, so the task-size bound holds even without a blocking key
     val blockKey =
@@ -205,7 +223,8 @@ object Dedup {
     * majority vote of token bits b. Same Charikar scheme as
     * [[graft.functions.Similarity.simHash64]], hash function swapped for
     * verifiability; the banded join downstream is the identical scale path. */
-  def simhash60(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash60(df0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val df = spread(df0)
     val tok = df.select(col(idCol).as("id"),
         explode(split(lower(col(textCol)), " ")).as("tok"))
       .where(col("tok") =!= "")
@@ -226,8 +245,9 @@ object Dedup {
     * text is mostly recycled from earlier documents. Two shuffles, both
     * partial-aggregating: shingle→min-owner groupBy, then the ownership
     * join back (1:1 per exploded row — a hot shingle cannot fan out). */
-  def shingleNovelty(df: DataFrame, idCol: String, textCol: String,
+  def shingleNovelty(df0: DataFrame, idCol: String, textCol: String,
                      n: Int = 5): DataFrame = {
+    val df = spread(df0)
     val exploded = df
       .select(col(idCol).as("id"), explode(tokenNgrams(col(textCol), n)).as("g"))
     val owners = exploded.groupBy("g").agg(min(col("id")).as("owner"))
@@ -265,10 +285,11 @@ object Dedup {
     * block space (block_key = hash(table, bucket)); a pair sharing several
     * tables dedups at the end like every emitted pair. Symmetric self-join,
     * so no multiprobe needed (both sides land in all tables). */
-  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+  def embeddingNearDup(df0: DataFrame, idCol: String, vecCol: String,
                        tau: Double, nBits: Int = 12, seed: Long = 42L,
                        cap: Int = 256, maxBlock: Int = 0,
                        tables: Int = 1): DataFrame = {
+    val df = spread(df0)
     val entries =
       if (nBits <= 0)
         df.select(lit(0L).as("block_key"), col(idCol).as("id"), col(vecCol).as("v"))

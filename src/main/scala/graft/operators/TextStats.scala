@@ -88,9 +88,10 @@ object TextStats {
     * duplicate mass) row-locally; the output row set is identical — docs
     * with fewer than 3 tokens have no trigram row and drop out of the old
     * inner join, reproduced by the filter below. */
-  def repetitionStats(df: org.apache.spark.sql.DataFrame,
+  def repetitionStats(df0: org.apache.spark.sql.DataFrame,
                       idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
     import graft.functions.GraftFunctions.ngram_rep_stats
+    val df = graft.operators.Dedup.spread(df0)
     df.select(col(idCol).as("id"),
         ngram_rep_stats(col(textCol), 2).as("b"),
         ngram_rep_stats(col(textCol), 3).as("t"))
