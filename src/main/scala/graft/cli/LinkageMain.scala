@@ -45,8 +45,12 @@ object LinkageMain {
       case Some("idf") => graft.scoring.Scoring.Idf
       case _ => graft.scoring.Scoring.Average
     }
+    // verify = true: externally supplied artifacts re-hash once at load so a
+    // corrupted/doctored data file with a stale metadata fingerprint cannot
+    // silently resume under the old fingerprint (round-6 ADVICE) — the
+    // pre-fingerprint-cache cost, paid only here
     val embeddings = opts.get("embeddings")
-      .map(p => graft.scoring.EmbeddingModel.fromParquet(spark, p))
+      .map(p => graft.scoring.EmbeddingModel.fromParquet(spark, p, verify = true))
       .getOrElse(graft.scoring.EmbeddingModel.fixture)
     // auto-profile: the calibrated default bias assumes embedded media; a
     // low-coverage corpus hands the inactive image family's logit headroom

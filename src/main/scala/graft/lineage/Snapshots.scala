@@ -35,8 +35,20 @@ object Snapshots {
     val json = (head :+ s""""counters":$ctr""" :+ s""""partitions":$parts""")
       .mkString("{", ",", "}")
     Files.createDirectories(Paths.get(path).getParent)
-    Files.writeString(Paths.get(path), json,
+    // write-temp + atomic rename: a reader (or a concurrent resume doing a
+    // read-modify-write through appendCounters) never observes a torn
+    // manifest (round-6 ADVICE)
+    val tmp = Paths.get(path + ".tmp")
+    Files.writeString(tmp, json,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    try Files.move(tmp, Paths.get(path),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(tmp, Paths.get(path),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   /** Minimal field extraction (manifests are machine-written; values are

@@ -111,6 +111,11 @@ object EmbeddingModel {
     val allRows = df.select(col("token"), col("id").cast("int"),
         col("vector").cast("array<float>"))
       .collect()
+    // malformed external artifacts fail with a message, not an NPE mid-scan
+    allRows.zipWithIndex.foreach { case (r, i) =>
+      require(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2),
+        s"embedding table row $i carries a null token/id/vector — reject the artifact")
+    }
     val (metaRows, rows) = allRows.partition(r =>
       r.getInt(1) == 0 && r.getString(0).startsWith(FingerprintToken))
     val cachedFp = metaRows.headOption
