@@ -92,10 +92,16 @@ object TextStats {
                       idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
     import graft.functions.GraftFunctions.ngram_rep_stats
     val df = graft.operators.Dedup.spread(df0)
-    df.select(col(idCol).as("id"),
+    // the row gate is the CHEAP equivalent predicate (≥3 tokens ⟺ at least
+    // one trigram AND one bigram — exactly the old inner join's row set):
+    // filtering on the kernel struct instead gets predicate-pushed below
+    // the spread exchange with the kernel expression SUBSTITUTED into the
+    // condition, re-running the expensive pass per struct field on the
+    // pre-spread single task (observed in the committed q35 after-plan v1)
+    df.where(size(split(col(textCol), " ")) >= 3)
+      .select(col(idCol).as("id"),
         ngram_rep_stats(col(textCol), 2).as("b"),
         ngram_rep_stats(col(textCol), 3).as("t"))
-      .where(col("b.total") > 0 && col("t.total") > 0)
       .select(col("id"),
         col("b.total").as("n_2grams"),
         (col("b.max_c").cast("double") / col("b.total")).as("top_bigram_frac"),
