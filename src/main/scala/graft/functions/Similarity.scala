@@ -564,6 +564,30 @@ object Similarity {
     -1
   }
 
+  /** Distinct-set Jaccard of two SORTED string arrays by linear merge —
+    * allocation-free (no per-row hash set, unlike array_intersect), exact:
+    * same |A∩B| / |A∪B| as the set form for sorted+distinct inputs. Both
+    * empty → 1.0 (two empty token sets are equal — matches the column-form
+    * convention). The verify stage of the near-dup operators evaluates this
+    * ~10^8 times per corpus pass; array_intersect's per-call hash set was
+    * measured at ~10 µs/pair there (1022 s CPU of one sf1 q22 stage). */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    val m = b.numElements()
+    if (n == 0 && m == 0) return 1.0
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < n && j < m) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    val union = n + m - inter
+    inter.toDouble / union
+  }
+
   // -------------------------------------------------- n-gram repetition
 
   /** Per-document token n-gram repetition stats in ONE row-local pass —

@@ -216,6 +216,36 @@ case class MultiAvgPoolExpr(child: Expression, dim: Int) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** jaccard_sorted(array<string>, array<string>) -> double: distinct-set
+  * Jaccard of two SORTED string arrays by allocation-free linear merge —
+  * the verify kernel of the near-dup operators (array_intersect builds a
+  * hash set per call; at ~10^8 verify pairs per corpus pass that allocation
+  * was the stage's dominant cost). Caller contract: inputs sorted+distinct
+  * (array_sort ∘ array_distinct). */
+case class JaccardSortedExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"jaccard_sorted requires array<string> args, got " +
+        Seq(left, right).map(_.dataType.catalogString).mkString(", "))
+  }
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    Similarity.jaccardSorted(
+      l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Similarity.jaccardSorted($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** ngram_rep_stats(string, n) -> struct<total, max_c, dup_mass>: per-row
   * token n-gram repetition statistics (the Gopher-style quality signals) in
   * one pass over the lowered text — replaces an explode + per-(doc, gram)
@@ -311,6 +341,7 @@ object GraftFunctions {
   def simhash64(c: Column, seed: Long = 0L): Column = col(SimHash64Expr(ex(c), seed))
   def first_equal_index(l: Column, r: Column): Column = col(FirstEqualIndexExpr(ex(l), ex(r)))
   def ngram_rep_stats(c: Column, n: Int): Column = col(NgramRepStatsExpr(ex(c), n))
+  def jaccard_sorted(l: Column, r: Column): Column = col(JaccardSortedExpr(ex(l), ex(r)))
   def srp_bucket(c: Column, nBits: Int, seed: Long): Column = col(SrpBucketExpr(ex(c), nBits, seed))
   def avg_pool_embed(c: Column, dim: Int): Column = col(AvgPoolExpr(ex(c), dim))
   def multi_avg_pool_embed(c: Column, dim: Int): Column = col(MultiAvgPoolExpr(ex(c), dim))

@@ -78,19 +78,45 @@ object Dedup {
     * arise with probability ~b²/2⁶⁴ per pair.) */
   def minhashCandidates(df0: DataFrame, idCol: String, textCol: String,
                         bands: Int = 32, rows: Int = 4, seed: Long = 42L,
-                        cap: Int = 256, maxBlock: Int = 0): DataFrame = {
+                        cap: Int = 256, maxBlock: Int = 0): DataFrame =
+    minhashCandidatesPruned(df0, idCol, textCol, bands, rows, seed, cap,
+      maxBlock, sizeRatioTau = 0.0)
+
+  /** [[minhashCandidates]] with an optional EXACT-SAFE size-ratio prune
+    * evaluated inside the grid join (sizeRatioTau > 0): each entry carries
+    * its distinct-token-set size (4 bytes) and a pair is emitted only when
+    * min/max ≥ τ — pairs that cannot reach token-Jaccard τ (J ≥ τ ⇒
+    * |A|/|B| ∈ [τ, 1/τ]) die before the candidate exchange and the verify
+    * joins instead of after them. Verification-path helper: with the prune
+    * on, the output is the band-sharing pairs RESTRICTED to ratio-feasible
+    * ones, exactly the set [[minhashNearDup]] must verify. */
+  private[operators] def minhashCandidatesPruned(
+      df0: DataFrame, idCol: String, textCol: String,
+      bands: Int, rows: Int, seed: Long, cap: Int, maxBlock: Int,
+      sizeRatioTau: Double): DataFrame = {
     val df = spread(df0)
-    val entries = df.select(col(idCol).as("id"),
-        GraftFunctions.minhash_token_bands(lower(col(textCol)), bands, rows, seed)
-          .as("bands"))
-      .select(col("id"), col("bands"),
+    val prune = sizeRatioTau > 0.0
+    val gsz = size(tokenNgrams(col(textCol), 1))
+    val base = df.select(col(idCol).as("id"),
+      GraftFunctions.minhash_token_bands(lower(col(textCol)), bands, rows, seed)
+        .as("bands"),
+      (if (prune) gsz else lit(0)).as("gsz"))
+    val entries = base
+      .select(col("id"), col("bands"), col("gsz"),
         posexplode(col("bands")).as(Seq("band_idx", "block_key")))
-      .select("block_key", "id", "bands", "band_idx")
-    Blocking.saltedSelfJoinPairs(entries, cap, maxBlock,
-        payload = Seq("bands", "band_idx"))
+      .select("block_key", "id", "bands", "band_idx", "gsz")
+    val payload = Seq("bands", "band_idx") ++ (if (prune) Seq("gsz") else Nil)
+    val ratioOk =
+      if (prune)
+        least(col("gsz_1"), col("gsz_2")).cast("double") >=
+          greatest(col("gsz_1"), col("gsz_2")) * sizeRatioTau
+      else lit(true)
+    Blocking.saltedSelfJoinPairs(
+        entries.select(("block_key" +: "id" +: payload).map(col): _*),
+        cap, maxBlock, payload = payload)
       .where(col("band_idx_1") === col("band_idx_2") &&
         GraftFunctions.first_equal_index(col("bands_1"), col("bands_2")) ===
-          col("band_idx_1"))
+          col("band_idx_1") && ratioOk)
       .select("id1", "id2")
   }
 
@@ -106,19 +132,22 @@ object Dedup {
     // verify joins' builds and executes twice (measured: 2 × ~115 s CPU of
     // identical grid work at sf0.1). The exchange carries only the slim
     // (id1, id2) stream and is what the first sort-merge join needs anyway.
-    val cands = minhashCandidates(df, idCol, textCol, bands, rows, seed, cap, maxBlock)
+    // The exact-safe size-ratio prune (J ≥ τ ⇒ |A|/|B| ∈ [τ, 1/τ]) runs
+    // INSIDE the grid join via a 4-byte size payload, so infeasible pairs
+    // never reach the candidate exchange or the verify joins at all.
+    val cands = minhashCandidatesPruned(df, idCol, textCol, bands, rows, seed,
+        cap, maxBlock, sizeRatioTau = tau)
       .repartition(col("id1"))
-    val grams = spread(df).select(col(idCol).as("id"), tokenNgrams(col(textCol), 1).as("g"))
-    val sz1 = size(col("g1")).cast("double")
-    val sz2 = size(col("g2")).cast("double")
+    // grams sorted once per doc: the verify kernel is an allocation-free
+    // linear merge (jaccard_sorted) instead of array_intersect's per-pair
+    // hash set — the verify stage's dominant cost at ~10^8 pairs
+    val grams = spread(df).select(col(idCol).as("id"),
+      array_sort(tokenNgrams(col(textCol), 1)).as("g"))
     cands
       .join(grams.select(col("id").as("id1"), col("g").as("g1")), "id1")
       .join(grams.select(col("id").as("id2"), col("g").as("g2")), "id2")
-      // exact-safe size-ratio prune (J ≥ τ ⇒ |A|/|B| ∈ [τ, 1/τ], same guard
-      // as ngramJaccardPairs): kills most false candidates before the
-      // per-pair set intersection, the verify stage's dominant cost
-      .where(least(sz1, sz2) >= greatest(sz1, sz2) * tau)
-      .select(col("id1"), col("id2"), jaccard(col("g1"), col("g2")).as("jaccard"))
+      .select(col("id1"), col("id2"),
+        GraftFunctions.jaccard_sorted(col("g1"), col("g2")).as("jaccard"))
       .where(col("jaccard") >= tau)
   }
 
@@ -154,16 +183,19 @@ object Dedup {
     // still salted, so the task-size bound holds even without a blocking key
     val blockKey =
       if (blockCols.nonEmpty) xxhash64(blockCols.map(col): _*) else lit(0L)
+    // grams sorted at entry construction: the per-pair verify is then the
+    // allocation-free merge kernel (jaccard_sorted) instead of
+    // array_intersect's per-pair hash set
     val entries = df.select(
       blockKey.as("block_key"),
       col(idCol).as("id"),
-      tokenNgrams(col(textCol), n).as("grams"))
+      array_sort(tokenNgrams(col(textCol), n)).as("grams"))
     val sz1 = size(col("grams_1")).cast("double")
     val sz2 = size(col("grams_2")).cast("double")
     Blocking.saltedSelfJoinPairs(entries, cap, maxBlock, payload = Seq("grams"))
       .where(least(sz1, sz2) >= greatest(sz1, sz2) * tau) // exact-safe prune
       .select(col("id1"), col("id2"),
-        jaccard(col("grams_1"), col("grams_2")).as("jaccard"))
+        GraftFunctions.jaccard_sorted(col("grams_1"), col("grams_2")).as("jaccard"))
       .where(col("jaccard") >= tau)
   }
 

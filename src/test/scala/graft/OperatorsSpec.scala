@@ -49,6 +49,23 @@ class OperatorsSpec extends SparkSpec {
     assert(!got.contains((1L, 3L)))
   }
 
+  test("jaccard_sorted merge kernel ≡ set-form jaccard on sorted-distinct arrays") {
+    val r = new scala.util.Random(7)
+    val words = (0 until 40).map(i => s"w$i")
+    val rows = (0 until 200).map { i =>
+      val a = r.shuffle(words).take(1 + r.nextInt(20)).distinct
+      val b = r.shuffle(words).take(1 + r.nextInt(20)).distinct
+      (i.toLong, a, b)
+    } :+ (999L, Seq.empty[String], Seq.empty[String]) // empty-empty → 1.0
+    val df = rows.toDF("id", "a", "b")
+      .select($"id", array_sort($"a").as("a"), array_sort($"b").as("b"))
+    val cmp = df.select(
+        graft.functions.GraftFunctions.jaccard_sorted($"a", $"b").as("fast"),
+        Dedup.jaccard($"a", $"b").as("ref"))
+      .where($"fast" =!= $"ref")
+    assert(cmp.count() == 0)
+  }
+
   test("ngram jaccard pairs: thresholds and block locality") {
     val docs = Seq(
       (1L, "a", "the quick brown fox jumps over the lazy dog"),
