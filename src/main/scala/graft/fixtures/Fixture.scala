@@ -152,37 +152,59 @@ object Fixture {
     b
   }
 
-  /** n pages with planted ground truth, generated distributedly. */
+  /** n pages with planted ground truth, generated distributedly.
+    *
+    * Per-partition one-entity memo: docIds of the same entity are CONTIGUOUS
+    * (entityOf is range arithmetic over the 23-doc cycle), so the canonical
+    * tokens / price / image — pure functions of entityId — are computed once
+    * per entity per partition instead of once per page copy (65% of pages
+    * are copies). Outputs are byte-identical: the cached values are exactly
+    * what the per-page recomputation produced, and the image is cloned
+    * before the per-copy byte perturbation so the cached canonical bytes are
+    * never mutated. */
   def pagesWithTruth(spark: SparkSession, n: Long, numPartitions: Int = 0): Dataset[PageTruth] = {
     import spark.implicits._
     val parts = if (numPartitions > 0) numPartitions
                 else spark.sparkContext.defaultParallelism
-    spark.range(0, n, 1, parts).map { docId =>
-      val (entityId, copyIdx) = entityOf(docId)
-      val base = canonicalTokens(entityId)
-      val price = canonicalPrice(entityId)
-      val dr = new Random(mix(Seed, docId * 0x9E3779B97F4A7C15L + 1))
-      val tokens = if (copyIdx == 0) base else perturb(base, dr)
-      val text = render(tokens, price, copyIdx, dr)
-      val er = new Random(mix(Seed, entityId * 31L + 17))
-      val domIdx = if (copyIdx == 0) zipfIdx(er, NumDomains)
-                   else zipfIdx(dr, NumDomains) // re-hosted on a different (random) domain
-      val url = s"https://${domains(domIdx)}/e$entityId/c$copyIdx"
-      val ts = new Timestamp(BaseEpochMs + docId * 1000L)
-      val img = entityImage(entityId)
-      if (copyIdx > 0) { // re-encoded copy: ~2% of bytes perturbed
-        var k = 0
-        while (k < img.length) {
-          if (dr.nextDouble() < 0.02) img(k) = dr.nextInt(256).toByte
-          k += 1
+    spark.range(0, n, 1, parts).mapPartitions { it =>
+      var memoEntity = -1L
+      var memoBase: Array[String] = null
+      var memoPrice = 0.0
+      var memoImg: Array[Byte] = null
+      it.map { docId =>
+        val (entityId, copyIdx) = entityOf(docId)
+        if (entityId != memoEntity) {
+          memoEntity = entityId
+          memoBase = canonicalTokens(entityId)
+          memoPrice = canonicalPrice(entityId)
+          memoImg = entityImage(entityId)
         }
+        val base = memoBase
+        val price = memoPrice
+        val dr = new Random(mix(Seed, docId * 0x9E3779B97F4A7C15L + 1))
+        val tokens = if (copyIdx == 0) base else perturb(base, dr)
+        val text = render(tokens, price, copyIdx, dr)
+        val er = new Random(mix(Seed, entityId * 31L + 17))
+        val domIdx = if (copyIdx == 0) zipfIdx(er, NumDomains)
+                     else zipfIdx(dr, NumDomains) // re-hosted on a different (random) domain
+        val url = s"https://${domains(domIdx)}/e$entityId/c$copyIdx"
+        val ts = new Timestamp(BaseEpochMs + docId * 1000L)
+        val img = if (copyIdx > 0) { // re-encoded copy: ~2% of bytes perturbed
+          val c = memoImg.clone()
+          var k = 0
+          while (k < c.length) {
+            if (dr.nextDouble() < 0.02) c(k) = dr.nextInt(256).toByte
+            k += 1
+          }
+          c
+        } else memoImg
+        val imgB64 = java.util.Base64.getEncoder.encodeToString(img)
+        val html = ("<html><body>" + text +
+          "<img src=\"data:image/fake;base64," + imgB64 + "\"></body></html>")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val lang = if (entityId % 37 == 0) "ru" else "en"
+        PageTruth(url, ts, html, text, lang, entityId)
       }
-      val imgB64 = java.util.Base64.getEncoder.encodeToString(img)
-      val html = ("<html><body>" + text +
-        "<img src=\"data:image/fake;base64," + imgB64 + "\"></body></html>")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val lang = if (entityId % 37 == 0) "ru" else "en"
-      PageTruth(url, ts, html, text, lang, entityId)
     }
   }
 
