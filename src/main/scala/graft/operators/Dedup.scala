@@ -66,8 +66,8 @@ object Dedup {
     * FIRST-COLLISION emission (guide §2.3 "do fewer shuffles" applied to the
     * candidate stream): a near-dup-heavy corpus collides similar pairs in
     * MANY of the b bands at once — measured at sf0.1, 92.2M raw grid pair
-    * rows for 965k distinct candidates (a 712 MB exchange plus two 92M-row
-    * hash-aggregate dedup passes, ~10× the whole query's useful work). Each
+    * rows for 10.5M distinct candidates (a 712 MB exchange plus two 92M-row
+    * hash-aggregate dedup passes collapsing ~9× duplication). Each
     * side therefore carries its full band signature through the grid join
     * and a pair is emitted ONLY from the first band where the signatures
     * agree (`first_equal_index(bands₁, bands₂) == this band`): the same
@@ -121,8 +121,10 @@ object Dedup {
   }
 
   /** MinHash near-duplicates = LSH candidates verified by exact token-set
-    * Jaccard ≥ tau (candidates carry only 8-byte ids through the banded
-    * join; the token arrays join in once, per side, for survivors). */
+    * Jaccard ≥ tau. The banded grid carries only signature metadata (band
+    * array + 4-byte set size — never the token arrays); ratio-feasible
+    * candidates then join the per-doc SORTED gram sets once per side and are
+    * verified by the allocation-free merge kernel. */
   def minhashNearDup(df: DataFrame, idCol: String, textCol: String, tau: Double,
                      bands: Int = 32, rows: Int = 4, seed: Long = 42L,
                      cap: Int = 256, maxBlock: Int = 0): DataFrame = {
